@@ -1,0 +1,104 @@
+"""Typed configuration for the whole framework.
+
+The reference hardcodes every hyperparameter as a compile-time constant
+(reference: src/bin/train.rs:30,128-131,161-166,174-176,193-197 and
+src/training.rs:24-31,51,55,62-70,82). Here they live in one dataclass with
+those values as defaults, CLI-overridable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Renderer constants (reference: src/renderer_diff.rs, src/renderer.rs)."""
+
+    march_steps: int = 40           # sphere-tracing iterations (renderer_diff.rs:22)
+    softmax_sharpness: float = 10.0  # compositor temp: softmax(-10*d) (renderer_diff.rs:74)
+    mask_sharpness: float = 15.0     # coverage: sigmoid(-15*sdf) (renderer_diff.rs:88)
+    normal_eps: float = 1e-4         # central-difference step (scene.rs:90)
+    gt_smooth_k: float = 32.0        # GT renderer fixed soft-min k (renderer.rs:21)
+    gt_light_dir: tuple = (-0.5, 0.5, -1.0)  # fixed GT light (renderer.rs:27)
+    gt_ambient: float = 0.1          # GT lighting = diffuse + 0.1 (renderer.rs:40)
+    gt_weight_sharpness: float = 10.0  # GT compositor exp(-10*d) (renderer.rs:52)
+    gt_mask_sharpness: float = 10.0    # GT mask exp(-10*d^2) (renderer.rs:77)
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Loss term coefficients (reference: src/training.rs:8-85)."""
+
+    fg_weight: float = 10.0          # object-region L1 weight (training.rs:31)
+    bg_weight_start: float = 1.0     # background weight at progress=0 (training.rs:26)
+    bg_weight_end: float = 5.0       # background weight at progress=1 (training.rs:26)
+    fg_mask_threshold: float = 0.01  # target color sum for "object" (training.rs:22)
+    radius_large_coeff: float = 0.04   # (training.rs:51)
+    radius_l1_coeff: float = 0.002     # (training.rs:51)
+    center_coeff: float = 0.05         # origin attraction (training.rs:55)
+    proximity_bound: float = 1.2       # camera-proximity barrier radius (training.rs:62)
+    proximity_coeff: float = 5.0       # (training.rs:70)
+    repulsion_coeff: float = 1e-5      # pairwise repulsion (training.rs:82)
+
+
+@dataclasses.dataclass(frozen=True)
+class DensityConfig:
+    """Prune/split rules (reference: src/training.rs:87-238)."""
+
+    prune_min_radius: float = 0.005      # (training.rs:167)
+    prune_max_radius_base: float = 1.0   # r > 1 - 0.04*stage culled (training.rs:167)
+    prune_max_radius_decay: float = 0.04
+    prune_flyaway_dist_sq: float = 1.44  # ||c||^2 > 1.2^2 (training.rs:171-174)
+    prune_black_color_sum: float = 0.05  # (training.rs:177-180)
+    split_radius_base: float = 0.25      # threshold 0.25*0.65^stage (training.rs:187)
+    split_radius_decay: float = 0.65
+    split_move_dist: float = 0.05        # move^2 > 0.05^2 (training.rs:188)
+    split_child_radius_scale: float = 0.8  # (training.rs:203)
+    split_child_min_radius: float = 0.01
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training schedule (reference: src/bin/train.rs)."""
+
+    batch_size: int = 16384          # rays/step (train.rs:30)
+    width: int = 256
+    height: int = 256
+    stages: int = 5                  # (train.rs:128)
+    steps_per_stage: int = 700       # (train.rs:129)
+    max_smooth_k: float = 32.0       # (train.rs:131)
+    min_smooth_k: float = 5.0        # anneal start (train.rs:174)
+    uniform_ratio_start: float = 0.8  # (train.rs:176)
+    uniform_ratio_end: float = 0.4
+    base_lr: float = 0.05            # (train.rs:166)
+    lr_stage_decay: float = 0.6      # base_lr * 0.6^stage
+    lr_midstage_factor: float = 0.2  # step > steps/2 → lr*0.2 (train.rs:193-197)
+    weight_decay: float = 1e-5       # Burn WeightDecayConfig (train.rs:162)
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-5           # Burn AdamConfig default epsilon
+    init_n: int = 7                  # initial primitive count (train.rs:103)
+    init_offset: float = 0.1         # 6-direction layout scale (train.rs:111-121)
+    init_ambient_logit: float = -1.4  # sigmoid(-1.4)≈0.2 (train.rs:108)
+    fg_pixel_threshold: float = 0.05  # dataset fg/bg split (dataset.rs:30)
+    preview_chunk: int = 4096        # tiled inference chunk (train.rs:344)
+    seed: int = 0
+    use_pallas: bool = True          # fused Pallas march kernel on TPU
+    dtype: str = "float32"
+
+    render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    density: DensityConfig = dataclasses.field(default_factory=DensityConfig)
+
+    # Paths
+    data_dir: str = "data"
+    cameras_json: str = "data/cameras.json"
+    steps_dir: str = "steps"
+    scene_json: str = "scene.json"
+    checkpoint_dir: Optional[str] = "checkpoints"
+
+    @property
+    def total_steps(self) -> int:
+        return self.stages * self.steps_per_stage

@@ -1,0 +1,92 @@
+"""Ray dataset with foreground-boosted importance sampling.
+
+The reference (src/dataset.rs) holds all rays/targets on device, splits
+pixels into fg/bg on the host (color sum > 0.05) and builds every batch's
+indices with a CPU RNG before a device gather. Here the fg index set is
+computed once (vectorized) and batch sampling is a pure jittable function of
+a jax PRNG key — the whole step stays on device, no per-step host round trip.
+
+Sampling semantics (src/dataset.rs:47-82): a batch is
+floor(batch*uniform_ratio) uniform picks over all pixels plus
+(batch - that) picks uniform over the fg set, with the fg-boost count capped
+at |fg| (and the remainder shifted back to uniform) when the fg set is small.
+Both pools sample with replacement.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def compute_fg_indices(targets: np.ndarray, threshold: float = 0.05):
+    """Split pixel indices by target brightness (reference dataset.rs:26-35).
+
+    Returns (fg_indices_padded [P] int32, n_fg). The fg array is padded to the
+    full pixel count with zeros so its shape is static for jit.
+    """
+    sums = np.asarray(targets).reshape(-1, 3).sum(axis=1)
+    fg = np.nonzero(sums > threshold)[0].astype(np.int32)
+    n_total = sums.shape[0]
+    padded = np.zeros((n_total,), np.int32)
+    padded[: fg.shape[0]] = fg
+    return padded, int(fg.shape[0])
+
+
+def sample_batch_indices(
+    key: jax.Array,
+    n_total: int,
+    fg_indices: jax.Array,   # [P] padded
+    n_fg: jax.Array,         # scalar int32
+    batch_size: int,
+    uniform_ratio: jax.Array,  # scalar in [0, 1]
+) -> jax.Array:
+    """Jittable batch index sampler → [batch_size] int32."""
+    k_uni, k_fg = jax.random.split(key)
+    n_uniform_req = jnp.floor(batch_size * uniform_ratio).astype(jnp.int32)
+    n_fg_boost = jnp.where(
+        n_fg > 0,
+        jnp.minimum(batch_size - n_uniform_req, n_fg),
+        0,
+    )
+    n_uniform = batch_size - n_fg_boost
+
+    uni = jax.random.randint(k_uni, (batch_size,), 0, n_total, dtype=jnp.int32)
+    fg_pos = jax.random.randint(
+        k_fg, (batch_size,), 0, jnp.maximum(n_fg, 1), dtype=jnp.int32
+    )
+    fg = fg_indices[fg_pos]
+    slots = jnp.arange(batch_size, dtype=jnp.int32)
+    return jnp.where(slots < n_uniform, uni, fg)
+
+
+class RayDataset:
+    """All training rays + targets, device-resident.
+
+    Mirrors reference SceneDataset (src/dataset.rs:4-45) but fg/bg membership
+    is vectorized and sampling is device-side.
+    """
+
+    def __init__(self, rays_o, rays_d, targets, fg_threshold: float = 0.05):
+        self.rays_o = jnp.asarray(rays_o)
+        self.rays_d = jnp.asarray(rays_d)
+        self.targets = jnp.asarray(targets)
+        self.num_total_pixels = int(self.rays_o.shape[0])
+        fg_padded, n_fg = compute_fg_indices(np.asarray(targets), fg_threshold)
+        self.fg_indices = jnp.asarray(fg_padded)
+        self.n_fg = jnp.asarray(n_fg, dtype=jnp.int32)
+        self.num_fg = n_fg
+        self.num_bg = self.num_total_pixels - n_fg
+
+    def sample_batch(self, key, batch_size: int, uniform_ratio):
+        """Gather one batch → (rays_o, rays_d, targets), each [B, 3]."""
+        idx = sample_batch_indices(
+            key, self.num_total_pixels, self.fg_indices, self.n_fg,
+            batch_size, jnp.asarray(uniform_ratio),
+        )
+        return (
+            jnp.take(self.rays_o, idx, axis=0),
+            jnp.take(self.rays_d, idx, axis=0),
+            jnp.take(self.targets, idx, axis=0),
+        )

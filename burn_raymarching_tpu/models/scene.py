@@ -1,0 +1,136 @@
+"""Scene model: learnable raw parameters + activation mapping + forward.
+
+The reference holds 5 Param tensors in a Burn Module (src/model/scene.rs:10-16)
+and maps raw → physical in forward (scene.rs:41-45): sigmoid(colors),
+softplus(radius)+0.01, sigmoid(ambient), centers/light raw. Here the params
+are a plain pytree dataclass (idiomatic JAX: pure functions over pytrees, no
+Module machinery), with a separate validity mask so M can be padded to a
+static bucket size across density-control stages.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from burn_raymarching_tpu.ops.march import MarchFn, march_xla
+from burn_raymarching_tpu.render.diff import render_diff
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SceneParams:
+    """Raw (pre-activation) learnable parameters.
+
+    centers: [M, 3]   — world positions (no activation)
+    colors:  [M, 3]   — logits; physical = sigmoid(colors)
+    radii:   [M, 1]   — raw; physical = softplus(radii) + 0.01
+    light_dir: [3]    — unnormalized direction
+    ambient: [1]      — logit; physical = sigmoid(ambient)
+    """
+
+    centers: jax.Array
+    colors: jax.Array
+    radii: jax.Array
+    light_dir: jax.Array
+    ambient: jax.Array
+
+    @property
+    def n(self) -> int:
+        return self.centers.shape[0]
+
+
+def activate(params: SceneParams):
+    """Raw → physical mapping (reference: src/model/scene.rs:41-45)."""
+    return (
+        params.centers,
+        jax.nn.sigmoid(params.colors),
+        jax.nn.softplus(params.radii) + 0.01,
+        params.light_dir,
+        jax.nn.sigmoid(params.ambient),
+    )
+
+
+def scene_forward(
+    params: SceneParams,
+    ray_org: jax.Array,
+    ray_dir: jax.Array,
+    smooth_k: jax.Array | float,
+    mask: Optional[jax.Array] = None,
+    march_fn: MarchFn = march_xla,
+) -> jax.Array:
+    """Full forward: activations + differentiable render → [N, 3].
+
+    Reference: src/model/scene.rs:35-57.
+    """
+    centers, colors, radii, light_dir, ambient = activate(params)
+    return render_diff(
+        ray_org, ray_dir, centers, colors, radii, light_dir, ambient,
+        smooth_k, mask=mask, march_fn=march_fn,
+    )
+
+
+def init_scene_params(
+    n: int = 7,
+    offset: float = 0.1,
+    ambient_logit: float = -1.4,
+    dtype=jnp.float32,
+) -> SceneParams:
+    """Initial 6-directions-plus-center layout.
+
+    Reference: src/bin/train.rs:102-126 — first 6 primitives at +-offset on
+    each axis, 7th at the origin, gray color logits 0, raw radius 0
+    (softplus(0)+0.01 ≈ 0.70), light [0,1,0], ambient logit -1.4.
+    Extra primitives beyond 7 (n > 7) are placed at the origin.
+    """
+    directions = jnp.array(
+        [
+            [1.0, 0.0, 0.0],
+            [-1.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0],
+            [0.0, -1.0, 0.0],
+            [0.0, 0.0, 1.0],
+            [0.0, 0.0, -1.0],
+        ],
+        dtype=dtype,
+    )
+    centers = jnp.zeros((n, 3), dtype=dtype)
+    k = min(n, 6)
+    centers = centers.at[:k].set(directions[:k] * offset)
+    return SceneParams(
+        centers=centers,
+        colors=jnp.zeros((n, 3), dtype=dtype),
+        radii=jnp.zeros((n, 1), dtype=dtype),
+        light_dir=jnp.array([0.0, 1.0, 0.0], dtype=dtype),
+        ambient=jnp.array([ambient_logit], dtype=dtype),
+    )
+
+
+def pad_params(params: SceneParams, m_pad: int) -> tuple[SceneParams, jax.Array]:
+    """Pad the primitive axis to ``m_pad`` slots; returns (params, mask[M]).
+
+    Padded slots are zero and masked out of every soft-min / softmax / loss
+    term, keeping XLA shapes static while density control changes M.
+    """
+    m = params.n
+    if m_pad < m:
+        raise ValueError(f"m_pad={m_pad} < current M={m}")
+    pad = m_pad - m
+
+    def _pad(x):
+        return jnp.pad(x, ((0, pad), (0, 0)))
+
+    mask = jnp.arange(m_pad) < m
+    return (
+        SceneParams(
+            centers=_pad(params.centers),
+            colors=_pad(params.colors),
+            radii=_pad(params.radii),
+            light_dir=params.light_dir,
+            ambient=params.ambient,
+        ),
+        mask,
+    )

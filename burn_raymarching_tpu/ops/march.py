@@ -1,0 +1,71 @@
+"""Sphere-tracing march loops.
+
+The training march is fully detached (truncated-graph sphere tracing): the
+reference detaches t after every step (src/renderer_diff.rs:22-26), so no
+gradient flows through the 40 iterations — gradients re-enter via one extra
+SDF evaluation at the converged point. That lets us run the march under
+``stop_gradient`` as a ``lax.fori_loop`` (compile-friendly, no unrolled graph)
+and, on TPU, swap in a fused Pallas kernel that keeps the whole 40-iteration
+loop in VMEM (see ops/pallas/march_kernel.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from burn_raymarching_tpu.ops.sdf import scene_sdf
+
+# Signature shared by XLA and Pallas march implementations.
+MarchFn = Callable[..., jax.Array]
+
+
+def march_xla(
+    ray_org: jax.Array,
+    ray_dir: jax.Array,
+    centers: jax.Array,
+    radii: jax.Array,
+    smooth_k: jax.Array | float,
+    mask: Optional[jax.Array] = None,
+    num_steps: int = 40,
+) -> jax.Array:
+    """Detached sphere-tracing march → final t [N, 1].
+
+    Reference: src/renderer_diff.rs:20-26 — t starts at 0, 40 iterations of
+    t <- t + sdf(ro + rd*t), each detached.
+    """
+    ray_org = jax.lax.stop_gradient(ray_org)
+    ray_dir = jax.lax.stop_gradient(ray_dir)
+    centers = jax.lax.stop_gradient(centers)
+    radii = jax.lax.stop_gradient(radii)
+    smooth_k = jax.lax.stop_gradient(smooth_k)
+
+    def body(_, t):
+        p = ray_org + ray_dir * t
+        return t + scene_sdf(p, centers, radii, smooth_k, mask=mask)
+
+    t0 = jnp.zeros((ray_org.shape[0], 1), dtype=ray_org.dtype)
+    t = jax.lax.fori_loop(0, num_steps, body, t0)
+    return jax.lax.stop_gradient(t)
+
+
+def march_gt(
+    ray_org: jax.Array,
+    ray_dir: jax.Array,
+    centers: jax.Array,
+    radii: jax.Array,
+    smooth_k: jax.Array | float,
+    mask: Optional[jax.Array] = None,
+    num_steps: int = 40,
+) -> jax.Array:
+    """Ground-truth renderer march (no detach semantics needed — the GT
+    renderer is never differentiated). Reference: src/renderer.rs:14-21."""
+
+    def body(_, t):
+        p = ray_org + ray_dir * t
+        return t + scene_sdf(p, centers, radii, smooth_k, mask=mask)
+
+    t0 = jnp.zeros((ray_org.shape[0], 1), dtype=ray_org.dtype)
+    return jax.lax.fori_loop(0, num_steps, body, t0)

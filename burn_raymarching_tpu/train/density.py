@@ -1,0 +1,134 @@
+"""Adaptive density control: generation-boundary pruning and splitting.
+
+3DGS-style recompaction between stages (reference src/training.rs:87-238).
+This is inherently data-dependent host-side work — the reference also runs it
+on the CPU over readback vectors — so it is vectorized NumPy here (with an
+optional C++ native path, see native/), and the result is re-padded to a
+static bucket size before re-entering the jitted training step.
+
+Rules (reference lines cited):
+  PRUNE  — r > 1 - 0.04*stage or r < 0.005 (training.rs:167)
+           ||c||^2 > 1.44 (flyaway, training.rs:171-174)
+           sum(sigmoid(colors)) < 0.05 (black, training.rs:177-180)
+  SPLIT  — only before the last stage (training.rs:185):
+           r > 0.25*0.65^stage AND moved^2 > 0.05^2 → two children at
+           c ± dir*(r/2) with dir uniform on the sphere, child radius
+           0.8*r (min 0.01) re-encoded through softplus⁻¹ = ln(e^x - 1)
+           (training.rs:187-221); else keep as-is.
+Movement is measured against the stage's INITIAL centers (training.rs:140-151).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from burn_raymarching_tpu.config import DensityConfig
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _softplus(x):
+    return np.logaddexp(x, 0.0)
+
+
+def _softplus_inv(y):
+    """Inverse of softplus: ln(e^y - 1), clamped like the reference
+    (training.rs:204: (target.exp() - 1).max(1e-6).ln())."""
+    return np.log(np.maximum(np.expm1(y), 1e-6))
+
+
+@dataclasses.dataclass
+class DensityStats:
+    pruned_size: int
+    pruned_flyaway: int
+    pruned_black: int
+    split: int
+    kept: int
+
+
+def prune_and_split(
+    raw_centers: np.ndarray,   # [M, 3] raw
+    raw_colors: np.ndarray,    # [M, 3] logits
+    raw_radii: np.ndarray,     # [M, 1] raw
+    init_centers: np.ndarray,  # [M, 3] stage-start centers
+    stage: int,
+    stages: int,
+    rng: np.random.Generator,
+    cfg: DensityConfig = DensityConfig(),
+):
+    """Returns (centers [M',3], colors [M',3], radii [M',1], stats).
+
+    All arrays are raw (pre-activation) params for the next generation.
+    """
+    raw_centers = np.asarray(raw_centers, np.float32).reshape(-1, 3)
+    raw_colors = np.asarray(raw_colors, np.float32).reshape(-1, 3)
+    raw_radii = np.asarray(raw_radii, np.float32).reshape(-1, 1)
+    init_centers = np.asarray(init_centers, np.float32).reshape(-1, 3)
+
+    eval_radii = _softplus(raw_radii[:, 0])                     # [M]
+    eval_colors = _sigmoid(raw_colors)                          # [M, 3]
+
+    # --- Pruning masks (training.rs:162-180) ---
+    max_r = cfg.prune_max_radius_base - stage * cfg.prune_max_radius_decay
+    bad_size = (eval_radii > max_r) | (eval_radii < cfg.prune_min_radius)
+    dist_sq = (raw_centers ** 2).sum(axis=1)
+    flyaway = dist_sq > cfg.prune_flyaway_dist_sq
+    black = eval_colors.sum(axis=1) < cfg.prune_black_color_sum
+    # Count prunes with the reference's short-circuit order (size, then
+    # flyaway, then black).
+    pruned_size = int(bad_size.sum())
+    pruned_flyaway = int((~bad_size & flyaway).sum())
+    pruned_black = int((~bad_size & ~flyaway & black).sum())
+    keep = ~(bad_size | flyaway | black)
+
+    # --- Splitting (training.rs:183-233) ---
+    if stage < stages - 1:
+        move_sq = ((raw_centers - init_centers) ** 2).sum(axis=1)
+        threshold = cfg.split_radius_base * cfg.split_radius_decay ** stage
+        split = keep & (eval_radii > threshold) & (
+            move_sq > cfg.split_move_dist ** 2
+        )
+    else:
+        split = np.zeros_like(keep)
+    hold = keep & ~split
+
+    out_centers = [raw_centers[hold]]
+    out_colors = [raw_colors[hold]]
+    out_radii = [raw_radii[hold]]
+
+    n_split = int(split.sum())
+    if n_split:
+        sc = raw_centers[split]
+        scol = raw_colors[split]
+        sr = eval_radii[split]
+        # Uniform directions on the sphere, drawn per-split exactly like the
+        # reference (z ~ U[-1,1), theta ~ U[0,tau)) (training.rs:191-199).
+        z = rng.uniform(-1.0, 1.0, size=n_split).astype(np.float32)
+        theta = rng.uniform(0.0, 2.0 * np.pi, size=n_split).astype(np.float32)
+        r_xy = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+        d = np.stack([r_xy * np.cos(theta), r_xy * np.sin(theta), z], axis=1)
+        offset = (sr * 0.5)[:, None]
+        child_r = _softplus_inv(
+            np.maximum(sr * cfg.split_child_radius_scale,
+                       cfg.split_child_min_radius)
+        )[:, None].astype(np.float32)
+        out_centers += [sc + d * offset, sc - d * offset]
+        out_colors += [scol, scol]
+        out_radii += [child_r, child_r]
+
+    centers = np.concatenate(out_centers).astype(np.float32)
+    colors = np.concatenate(out_colors).astype(np.float32)
+    radii = np.concatenate(out_radii).astype(np.float32)
+
+    stats = DensityStats(
+        pruned_size=pruned_size,
+        pruned_flyaway=pruned_flyaway,
+        pruned_black=pruned_black,
+        split=n_split,
+        kept=int(hold.sum()),
+    )
+    return centers, colors, radii, stats

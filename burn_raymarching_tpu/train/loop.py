@@ -1,0 +1,292 @@
+"""Multi-stage training driver.
+
+Mirrors the reference's train binary (src/bin/train.rs:23-330): 5 stages x
+700 Adam steps, per-stage model + optimizer rebuild (momentum reset), smooth_k
+5→32 and uniform_ratio 0.8→0.4 anneals, LR 0.05*0.6^stage with a ×0.2
+mid-stage drop, per-stage preview PNGs, prune/split between stages, final
+scene.json export.
+
+TPU-first differences:
+  * one jitted train step (sampling + forward + loss + Adam) — the entire
+    step runs on device; anneal scalars are traced arguments so no recompile;
+  * M is padded to power-of-two buckets with a validity mask, bounding
+    recompiles to one per bucket change;
+  * stage-granular checkpoints (npz of raw params) enable resume — the
+    reference loses the run on any crash (SURVEY §5);
+  * optional sharded step: rays data-parallel over a device mesh, gradients
+    psum'd (see parallel/).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from burn_raymarching_tpu.config import TrainConfig
+from burn_raymarching_tpu.data.camera import create_camera_rays
+from burn_raymarching_tpu.data.dataset import RayDataset, sample_batch_indices
+from burn_raymarching_tpu.data.image_io import load_image_as_array, save_array_as_image
+from burn_raymarching_tpu.data.scene_io import export_scene_json, load_cameras
+from burn_raymarching_tpu.models.scene import (
+    SceneParams,
+    init_scene_params,
+    pad_params,
+    scene_forward,
+)
+from burn_raymarching_tpu.render.preview import render_tiled
+from burn_raymarching_tpu.train.density import prune_and_split
+from burn_raymarching_tpu.train.loss import compute_loss
+from burn_raymarching_tpu.train.optimizer import (
+    anneal_for_step,
+    lr_for_step,
+    make_optimizer,
+)
+from burn_raymarching_tpu.utils.padding import bucket_size
+
+
+def build_dataset(cfg: TrainConfig) -> RayDataset:
+    """Load cameras.json + target images → one flat ray dataset
+    (reference train.rs:62-98)."""
+    cams = load_cameras(cfg.cameras_json)
+    ro_list, rd_list, tgt_list = [], [], []
+    for cam in cams:
+        ro, rd = create_camera_rays(
+            cfg.width, cfg.height, cam["origin"], cam["target"], cam["fov"]
+        )
+        tgt = load_image_as_array(cam["file"])
+        ro_list.append(np.asarray(ro))
+        rd_list.append(np.asarray(rd))
+        tgt_list.append(tgt)
+    return RayDataset(
+        np.concatenate(ro_list),
+        np.concatenate(rd_list),
+        np.concatenate(tgt_list),
+        fg_threshold=cfg.fg_pixel_threshold,
+    )
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        dataset: RayDataset,
+        march_fn: Optional[Callable] = None,
+        log: Callable[[str], None] = print,
+    ):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.log = log
+        if march_fn is None:
+            march_fn = self._default_march()
+        self.march_fn = march_fn
+        self.tx = make_optimizer(cfg)
+        self._step_fn = self._build_step()
+        self.loss_history: list[float] = []
+
+    def _default_march(self):
+        from burn_raymarching_tpu.ops.march import march_xla
+
+        if self.cfg.use_pallas and jax.default_backend() == "tpu":
+            from burn_raymarching_tpu.ops.pallas import march_pallas
+
+            return march_pallas
+        return march_xla
+
+    def _build_step(self):
+        cfg = self.cfg
+        march_fn = self.march_fn
+        batch = cfg.batch_size
+
+        @jax.jit
+        def step(params, opt_state, key, mask, rays_o, rays_d, targets,
+                 fg_indices, n_fg, progress, smooth_k, uniform_ratio, lr):
+            idx = sample_batch_indices(
+                key, rays_o.shape[0], fg_indices, n_fg, batch, uniform_ratio
+            )
+            ro = jnp.take(rays_o, idx, axis=0)
+            rd = jnp.take(rays_d, idx, axis=0)
+            tgt = jnp.take(targets, idx, axis=0)
+
+            def loss_fn(p):
+                out = scene_forward(p, ro, rd, smooth_k, mask=mask,
+                                    march_fn=march_fn)
+                return compute_loss(p, out, tgt, progress, mask=mask,
+                                    cfg=cfg.loss)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+            return params, opt_state, loss
+
+        return step
+
+    # ------------------------------------------------------------------ #
+
+    def run_stage(
+        self,
+        params: SceneParams,
+        stage: int,
+        key: jax.Array,
+        num_steps: Optional[int] = None,
+    ) -> tuple[SceneParams, jax.Array, jax.Array]:
+        """One generation of optimization on padded params.
+
+        Returns (padded params, mask, last loss). Reference train.rs:138-207.
+        """
+        cfg = self.cfg
+        m_pad = bucket_size(params.n)
+        padded, mask = pad_params(params, m_pad)
+        opt_state = self.tx.init(padded)
+        ds = self.dataset
+        steps = num_steps if num_steps is not None else cfg.steps_per_stage
+        loss = jnp.zeros(())
+        t0 = time.time()
+        for step in range(1, steps + 1):
+            key, sub = jax.random.split(key)
+            progress, smooth_k, uniform_ratio = anneal_for_step(cfg, stage, step)
+            lr = lr_for_step(cfg, stage, step)
+            padded, opt_state, loss = self._step_fn(
+                padded, opt_state, sub, mask,
+                ds.rays_o, ds.rays_d, ds.targets, ds.fg_indices, ds.n_fg,
+                jnp.float32(progress), jnp.float32(smooth_k),
+                jnp.float32(uniform_ratio), jnp.float32(lr),
+            )
+            if step % 100 == 0:
+                lv = float(loss)
+                self.loss_history.append(lv)
+                rate = step * cfg.batch_size / (time.time() - t0)
+                self.log(
+                    f"  Step {step} | Loss: {lv:.5f} | k: {smooth_k:.1f}"
+                    f" | {rate:,.0f} rays/s"
+                )
+        return padded, mask, loss
+
+    def _unpad(self, padded: SceneParams, n: int) -> SceneParams:
+        return SceneParams(
+            centers=padded.centers[:n],
+            colors=padded.colors[:n],
+            radii=padded.radii[:n],
+            light_dir=padded.light_dir,
+            ambient=padded.ambient,
+        )
+
+    def save_preview(self, padded, mask, path: str):
+        cfg = self.cfg
+        ro, rd = create_camera_rays(
+            cfg.width, cfg.height, [0.0, 0.0, -2.5], [0.0, 0.0, 0.0], 50.0
+        )
+        img = render_tiled(padded, ro, rd, smooth_k=cfg.max_smooth_k,
+                           mask=mask, chunk=cfg.preview_chunk,
+                           march_fn=self.march_fn)
+        save_array_as_image(img, cfg.width, cfg.height, path)
+        self.log(f"Saved image to {path}")
+
+    def _ckpt_path(self, stage: int) -> Optional[str]:
+        if not self.cfg.checkpoint_dir:
+            return None
+        return os.path.join(self.cfg.checkpoint_dir, f"stage_{stage}.npz")
+
+    def save_checkpoint(self, stage: int, params: SceneParams, key):
+        """Stage-boundary checkpoint of RAW next-generation params — the
+        resume point the reference lacks (SURVEY §5 failure recovery)."""
+        path = self._ckpt_path(stage)
+        if not path:
+            return
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.savez(
+            path,
+            stage=stage,
+            centers=np.asarray(params.centers),
+            colors=np.asarray(params.colors),
+            radii=np.asarray(params.radii),
+            light_dir=np.asarray(params.light_dir),
+            ambient=np.asarray(params.ambient),
+            key=np.asarray(key),
+        )
+
+    def latest_checkpoint(self) -> Optional[tuple[int, SceneParams, jax.Array]]:
+        if not self.cfg.checkpoint_dir or not os.path.isdir(self.cfg.checkpoint_dir):
+            return None
+        best = None
+        for f in os.listdir(self.cfg.checkpoint_dir):
+            if f.startswith("stage_") and f.endswith(".npz"):
+                s = int(f[len("stage_"):-len(".npz")])
+                best = max(best, s) if best is not None else s
+        if best is None:
+            return None
+        d = np.load(self._ckpt_path(best))
+        params = SceneParams(
+            centers=jnp.asarray(d["centers"]),
+            colors=jnp.asarray(d["colors"]),
+            radii=jnp.asarray(d["radii"]),
+            light_dir=jnp.asarray(d["light_dir"]),
+            ambient=jnp.asarray(d["ambient"]),
+        )
+        return best, params, jnp.asarray(d["key"])
+
+    # ------------------------------------------------------------------ #
+
+    def run(self, resume: bool = False) -> tuple[SceneParams, jax.Array]:
+        """Full multi-stage run → (final padded params, mask).
+
+        Reference train.rs:101-330.
+        """
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.seed)
+        rng = np.random.default_rng(cfg.seed)
+        params = init_scene_params(cfg.init_n, cfg.init_offset,
+                                   cfg.init_ambient_logit)
+        start_stage = 0
+        if resume:
+            ck = self.latest_checkpoint()
+            if ck is not None:
+                start_stage, params, key = ck
+                self.log(f"Resuming from stage {start_stage} checkpoint")
+
+        self.log("🚀 Start Multi-Stage Optimization...")
+        padded, mask = pad_params(params, bucket_size(params.n))
+        for stage in range(start_stage, cfg.stages):
+            self.log(f"=== Stage {stage + 1}/{cfg.stages} (N = {params.n}) ===")
+            stage_init_centers = np.asarray(params.centers)
+            key, sub = jax.random.split(key)
+            padded, mask, _ = self.run_stage(params, stage, sub)
+
+            if stage == cfg.stages - 1:
+                self.log("🎉 Final Stage Complete! Exporting results...")
+                export_scene_json(padded, cfg.scene_json, mask=np.asarray(mask))
+                self.log(f"  => Saved to {cfg.scene_json} (N = {params.n})")
+                self.save_preview(padded, mask,
+                                  os.path.join(cfg.steps_dir, "final_1.png"))
+                break
+
+            self.save_preview(padded, mask,
+                              os.path.join(cfg.steps_dir, f"stage_{stage}.png"))
+
+            unpadded = self._unpad(padded, params.n)
+            centers, colors, radii, stats = prune_and_split(
+                np.asarray(unpadded.centers),
+                np.asarray(unpadded.colors),
+                np.asarray(unpadded.radii),
+                stage_init_centers,
+                stage, cfg.stages, rng, cfg.density,
+            )
+            params = SceneParams(
+                centers=jnp.asarray(centers),
+                colors=jnp.asarray(colors),
+                radii=jnp.asarray(radii),
+                light_dir=padded.light_dir,
+                ambient=padded.ambient,
+            )
+            self.log(
+                f"  => Pruning & Splitting complete. Next N = {params.n} "
+                f"(kept {stats.kept}, split {stats.split}, pruned "
+                f"{stats.pruned_size}+{stats.pruned_flyaway}+{stats.pruned_black})"
+            )
+            self.save_checkpoint(stage + 1, params, key)
+        return padded, mask

@@ -1,0 +1,110 @@
+"""Loss terms vs NumPy oracles (reference src/training.rs:8-85)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from burn_raymarching_tpu.config import LossConfig
+from burn_raymarching_tpu.models.scene import SceneParams
+from burn_raymarching_tpu.train.loss import compute_loss
+
+
+def _np_softplus(x):
+    return np.logaddexp(x, 0.0)
+
+
+def _oracle_loss(params, out, tgt, progress, cfg=LossConfig()):
+    abs_diff = np.abs(out - tgt)
+    tsum = tgt.sum(1, keepdims=True)
+    bg_w = 1.0 + progress * 4.0
+    wmap = np.where(tsum > 0.01, 10.0, bg_w)
+    loss = (abs_diff * wmap).mean()
+
+    radii = _np_softplus(params["radii"])
+    loss += 0.002 * np.abs(radii).mean()
+    loss += 0.04 * np.where(radii > 1.0, radii ** 2, 0.0).mean()
+
+    c = params["centers"]
+    loss += 0.05 * (c ** 2).mean()
+
+    dist = np.sqrt((c ** 2).sum(1, keepdims=True) + 1e-6)
+    reach = dist + radii
+    loss += 5.0 * np.where(reach > 1.2, (reach - 1.2) ** 2, 0.0).mean()
+
+    m = c.shape[0]
+    d2 = ((c[:, None] - c[None, :]) ** 2).sum(-1)
+    dmat = np.sqrt(np.maximum(d2, 1e-6))
+    inv = 1.0 / (dmat + np.eye(m) * 100.0 + 1e-6)
+    loss += 1e-5 * inv.mean()
+    return loss
+
+
+@pytest.fixture
+def setup():
+    rng = np.random.default_rng(7)
+    m, b = 5, 32
+    params_np = {
+        "centers": rng.normal(0, 0.5, (m, 3)).astype(np.float32),
+        "colors": rng.normal(0, 1, (m, 3)).astype(np.float32),
+        "radii": rng.normal(0, 1, (m, 1)).astype(np.float32),
+    }
+    params = SceneParams(
+        centers=jnp.asarray(params_np["centers"]),
+        colors=jnp.asarray(params_np["colors"]),
+        radii=jnp.asarray(params_np["radii"]),
+        light_dir=jnp.asarray([0.0, 1.0, 0.0]),
+        ambient=jnp.asarray([-1.4]),
+    )
+    out = rng.uniform(0, 1, (b, 3)).astype(np.float32)
+    tgt = rng.uniform(0, 0.3, (b, 3)).astype(np.float32)
+    tgt[: b // 2] = 0.0  # some background pixels
+    return params_np, params, out, tgt
+
+
+def test_loss_matches_oracle(setup):
+    params_np, params, out, tgt = setup
+    for progress in (0.0, 0.5, 1.0):
+        got = float(compute_loss(params, jnp.asarray(out), jnp.asarray(tgt),
+                                 jnp.float32(progress)))
+        want = _oracle_loss(params_np, out, tgt, progress)
+        np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_loss_masked_equals_unpadded(setup):
+    params_np, params, out, tgt = setup
+    m = params.centers.shape[0]
+    m_pad = 8
+    pad = m_pad - m
+    padded = SceneParams(
+        centers=jnp.pad(params.centers, ((0, pad), (0, 0))),
+        colors=jnp.pad(params.colors, ((0, pad), (0, 0))),
+        radii=jnp.pad(params.radii, ((0, pad), (0, 0))),
+        light_dir=params.light_dir,
+        ambient=params.ambient,
+    )
+    mask = jnp.arange(m_pad) < m
+    got = float(compute_loss(padded, jnp.asarray(out), jnp.asarray(tgt),
+                             jnp.float32(0.3), mask=mask))
+    want = float(compute_loss(params, jnp.asarray(out), jnp.asarray(tgt),
+                              jnp.float32(0.3)))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+def test_radius_penalty_uses_softplus_without_offset(setup):
+    # The penalty path uses softplus(raw) (training.rs:44), NOT the forward's
+    # softplus+0.01: at raw=0, softplus=0.693 → l1 term = 0.002*0.693.
+    _, params, out, tgt = setup
+    z = SceneParams(
+        centers=jnp.zeros((1, 3)),
+        colors=jnp.zeros((1, 3)),
+        radii=jnp.zeros((1, 1)),
+        light_dir=params.light_dir,
+        ambient=params.ambient,
+    )
+    same = jnp.zeros((4, 3))
+    got = float(compute_loss(z, same, same, jnp.float32(0.0)))
+    sp0 = float(np.logaddexp(0.0, 0.0))
+    # recon 0; radius_l1 = 0.002*sp0; large 0; center 0; proximity:
+    # reach = 1e-3 + sp0 < 1.2 → 0; repulsion = 1e-5 * 1/(1e-3+100+1e-6).
+    want = 0.002 * sp0 + 1e-5 * 1.0 / (np.sqrt(1e-6) + 100.0 + 1e-6)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
