@@ -61,6 +61,7 @@ def scene_forward(
     smooth_k: jax.Array | float,
     mask: Optional[jax.Array] = None,
     march_fn: MarchFn = march_xla,
+    model_axis: Optional[str] = None,
 ) -> jax.Array:
     """Full forward: activations + differentiable render → [N, 3].
 
@@ -69,7 +70,7 @@ def scene_forward(
     centers, colors, radii, light_dir, ambient = activate(params)
     return render_diff(
         ray_org, ray_dir, centers, colors, radii, light_dir, ambient,
-        smooth_k, mask=mask, march_fn=march_fn,
+        smooth_k, mask=mask, march_fn=march_fn, model_axis=model_axis,
     )
 
 

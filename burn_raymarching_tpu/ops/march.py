@@ -21,6 +21,16 @@ from burn_raymarching_tpu.ops.sdf import scene_sdf
 # Signature shared by XLA and Pallas march implementations.
 MarchFn = Callable[..., jax.Array]
 
+# Cap on the march parameter t. The reference lets missed rays diverge
+# geometrically (t ~ 2.5 * 2^40 ≈ 1e12 after 40 doublings); every visible
+# ray in a bounded scene (primitives inside ||c|| <= 1.2 + r, cameras a few
+# units out) converges at t < ~10, so capping far beyond that changes no
+# covered pixel. Missed rays saturate coverage to exactly 0 (sigmoid(-15e4)
+# underflows) with exactly zero gradients either way — but the ~1e12
+# magnitudes provoke NaNs in XLA's fused compositor backward, so we keep t
+# in sane fp32 range.
+T_MAX = 1e4
+
 
 def march_xla(
     ray_org: jax.Array,
@@ -30,6 +40,7 @@ def march_xla(
     smooth_k: jax.Array | float,
     mask: Optional[jax.Array] = None,
     num_steps: int = 40,
+    model_axis: Optional[str] = None,
 ) -> jax.Array:
     """Detached sphere-tracing march → final t [N, 1].
 
@@ -44,7 +55,9 @@ def march_xla(
 
     def body(_, t):
         p = ray_org + ray_dir * t
-        return t + scene_sdf(p, centers, radii, smooth_k, mask=mask)
+        t = t + scene_sdf(p, centers, radii, smooth_k, mask=mask,
+                          model_axis=model_axis)
+        return jnp.minimum(t, T_MAX)
 
     t0 = jnp.zeros((ray_org.shape[0], 1), dtype=ray_org.dtype)
     t = jax.lax.fori_loop(0, num_steps, body, t0)
@@ -59,13 +72,16 @@ def march_gt(
     smooth_k: jax.Array | float,
     mask: Optional[jax.Array] = None,
     num_steps: int = 40,
+    model_axis: Optional[str] = None,
 ) -> jax.Array:
     """Ground-truth renderer march (no detach semantics needed — the GT
     renderer is never differentiated). Reference: src/renderer.rs:14-21."""
 
     def body(_, t):
         p = ray_org + ray_dir * t
-        return t + scene_sdf(p, centers, radii, smooth_k, mask=mask)
+        t = t + scene_sdf(p, centers, radii, smooth_k, mask=mask,
+                          model_axis=model_axis)
+        return jnp.minimum(t, T_MAX)
 
     t0 = jnp.zeros((ray_org.shape[0], 1), dtype=ray_org.dtype)
     return jax.lax.fori_loop(0, num_steps, body, t0)

@@ -65,7 +65,8 @@ def _march_kernel(ro_ref, rd_ref, prim_ref, csq_ref, k_ref, t_ref, *,
         mx = jnp.max(val, axis=1, keepdims=True)          # [T, 1]
         s = jnp.sum(jnp.exp(val - mx), axis=1, keepdims=True)
         sm = (jnp.log(jnp.maximum(s, 1e-8)) + mx) / (-k)
-        return t + sm
+        # Same T_MAX cap as ops.march (missed-ray saturation; see march.py).
+        return jnp.minimum(t + sm, 1e4)
 
     t0 = jnp.zeros((ro.shape[0], 1), jnp.float32)
     t_ref[:] = jax.lax.fori_loop(0, num_steps, body, t0)
@@ -115,13 +116,24 @@ def march_pallas(
     num_steps: int = 40,
     tile_n: int = _TILE_N,
     interpret: bool = False,
+    model_axis: Optional[str] = None,
 ) -> jax.Array:
     """Drop-in replacement for ops.march.march_xla on TPU.
 
     Pads N to the ray-tile size and M to a lane multiple; masked / padded
     primitives are excluded by giving them ||c||^2 = 1e30 so their distance
     is enormous and the soft-min ignores them.
+
+    M-sharded mode (``model_axis``) needs a cross-shard soft-min combine on
+    every march step; that path currently falls back to the XLA march, whose
+    per-step pmax/psum XLA collectives handle it.
     """
+    if model_axis is not None:
+        from burn_raymarching_tpu.ops.march import march_xla
+
+        return march_xla(ray_org, ray_dir, centers, radii, smooth_k,
+                         mask=mask, num_steps=num_steps,
+                         model_axis=model_axis)
     ray_org = jax.lax.stop_gradient(ray_org)
     ray_dir = jax.lax.stop_gradient(ray_dir)
     centers = jax.lax.stop_gradient(centers)

@@ -49,6 +49,7 @@ def soft_min(
     dists: jax.Array,
     k: jax.Array | float,
     mask: Optional[jax.Array] = None,
+    model_axis: Optional[str] = None,
 ) -> jax.Array:
     """Stable LogSumExp soft-min over the primitive axis.
 
@@ -57,13 +58,23 @@ def soft_min(
     detached (stop_gradient) exactly as the reference detaches it.
 
     dists: [N, M]; mask: optional [M] bool/float validity of padded slots.
-    Returns [N, 1].
+    When ``model_axis`` is set (inside shard_map with the primitive table
+    sharded over that mesh axis), the max and sum are combined across shards
+    with a two-pass pmax-then-psum logsumexp — the ring-reduction analog of
+    blockwise attention over the M axis. Returns [N, 1].
     """
     val = dists * (-k)
     if mask is not None:
         val = jnp.where(mask[None, :].astype(bool), val, _MASKED_NEG)
-    max_val = jax.lax.stop_gradient(jnp.max(val, axis=1, keepdims=True))
+    # stop_gradient BEFORE pmax: the max is detached anyway (reference
+    # sdf.rs:37) and pmax has no differentiation rule.
+    local_max = jax.lax.stop_gradient(jnp.max(val, axis=1, keepdims=True))
+    if model_axis is not None:
+        local_max = jax.lax.pmax(local_max, model_axis)
+    max_val = local_max
     sum_exp = jnp.sum(jnp.exp(val - max_val), axis=1, keepdims=True)
+    if model_axis is not None:
+        sum_exp = jax.lax.psum(sum_exp, model_axis)
     return (jnp.log(jnp.maximum(sum_exp, 1e-8)) + max_val) / (-k)
 
 
@@ -99,13 +110,15 @@ def scene_sdf(
     radii: jax.Array,
     smooth_k: jax.Array | float,
     mask: Optional[jax.Array] = None,
+    model_axis: Optional[str] = None,
 ) -> jax.Array:
     """Soft-min SDF of the whole scene at points ``p`` [N,3] → [N,1].
 
-    Reference: src/model/scene.rs:60-79.
+    Reference: src/model/scene.rs:60-79. ``centers``/``radii``/``mask`` may be
+    the local shard of an M-sharded primitive table (see soft_min).
     """
     dists = pairwise_sphere_dists(p, centers, radii)
-    return soft_min(dists, smooth_k, mask=mask)
+    return soft_min(dists, smooth_k, mask=mask, model_axis=model_axis)
 
 
 # 6-tap central-difference offsets (+x, -x, +y, -y, +z, -z);
@@ -130,6 +143,7 @@ def scene_normal(
     smooth_k: jax.Array | float,
     mask: Optional[jax.Array] = None,
     eps: float = 1e-4,
+    model_axis: Optional[str] = None,
 ) -> jax.Array:
     """Central-difference surface normals, batched as one [6N, M] SDF eval.
 
@@ -141,7 +155,8 @@ def scene_normal(
     n = p.shape[0]
     offsets = _NORMAL_TAPS.astype(p.dtype) * eps              # [6, 3]
     p_taps = (p[:, None, :] + offsets[None, :, :]).reshape(n * 6, 3)
-    d = scene_sdf(p_taps, centers, radii, smooth_k, mask=mask).reshape(n, 6)
+    d = scene_sdf(p_taps, centers, radii, smooth_k, mask=mask,
+                  model_axis=model_axis).reshape(n, 6)
     normal = jnp.stack(
         [d[:, 0] - d[:, 1], d[:, 2] - d[:, 3], d[:, 4] - d[:, 5]], axis=1
     )

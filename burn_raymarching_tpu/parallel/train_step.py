@@ -1,0 +1,135 @@
+"""Sharded training step: rays data-parallel × primitives model-parallel.
+
+TPU-native scaling design (SURVEY §2/§5; no equivalent exists in the
+single-device reference):
+
+  * "data" axis — the batch of rays is split across devices. Each device
+    samples its own sub-batch (PRNG folded with its axis index), marches and
+    shades it against its primitive (shard), and computes the local loss.
+    Gradients are combined with ``pmean`` over the axis — per-primitive grads
+    are M×7 floats, so this all-reduce is latency-bound and rides ICI.
+  * "model" axis — the primitive table (M) is sharded. Soft-min / softmax
+    compositing combine shards with the two-pass pmax+psum logsumexp inside
+    the forward (ops/sdf.py, render/diff.py); reverse-mode AD threads the
+    corresponding collectives through the backward automatically. Replicated
+    params (light_dir, ambient) need an explicit psum of their partial grads.
+
+The optimizer update runs outside shard_map under jit — elementwise over
+already-sharded leaves, so XLA keeps it local with no extra collectives.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from burn_raymarching_tpu.config import TrainConfig
+from burn_raymarching_tpu.data.dataset import sample_batch_indices
+from burn_raymarching_tpu.models.scene import SceneParams, scene_forward
+from burn_raymarching_tpu.train.loss import compute_loss
+
+
+def param_specs(model_sharded: bool) -> SceneParams:
+    """PartitionSpec pytree for SceneParams."""
+    m = P("model", None) if model_sharded else P(None, None)
+    return SceneParams(
+        centers=m, colors=m, radii=m,
+        light_dir=P(None), ambient=P(None),
+    )
+
+
+def make_sharded_train_step(
+    cfg: TrainConfig,
+    mesh: Mesh,
+    tx,
+    march_fn: Optional[Callable] = None,
+) -> Callable:
+    """Build a jitted sharded step:
+    (params, opt_state, key, mask, dataset arrays, anneal scalars, lr)
+        -> (params, opt_state, loss).
+
+    ``params``/``mask`` must be laid out with primitive rows divisible by the
+    model-axis size (bucket padding guarantees this).
+    """
+    if march_fn is None:
+        from burn_raymarching_tpu.ops.march import march_xla
+
+        march_fn = march_xla
+
+    n_data = mesh.shape["data"]
+    n_model = mesh.shape["model"]
+    model_sharded = n_model > 1
+    model_axis = "model" if model_sharded else None
+    batch_local = cfg.batch_size // n_data
+    if batch_local * n_data != cfg.batch_size:
+        raise ValueError("batch_size must divide the data axis")
+
+    pspec = param_specs(model_sharded)
+    mask_spec = P("model") if model_sharded else P(None)
+    rep2 = P(None, None)
+
+    def device_grads(params, key, mask, rays_o, rays_d, targets,
+                     fg_indices, n_fg, progress, smooth_k, uniform_ratio):
+        # Per-device sub-batch: fold the data-shard index into the key.
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        idx = sample_batch_indices(
+            key, rays_o.shape[0], fg_indices, n_fg, batch_local, uniform_ratio
+        )
+        ro = jnp.take(rays_o, idx, axis=0)
+        rd = jnp.take(rays_d, idx, axis=0)
+        tgt = jnp.take(targets, idx, axis=0)
+
+        def loss_fn(p):
+            out = scene_forward(p, ro, rd, smooth_k, mask=mask,
+                                march_fn=march_fn, model_axis=model_axis)
+            return compute_loss(p, out, tgt, progress, mask=mask,
+                                cfg=cfg.loss, model_axis=model_axis)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # Mean over ray shards (equal shard sizes → mean of means is exact).
+        loss = jax.lax.pmean(loss, "data")
+        grads = jax.lax.pmean(grads, "data")
+        if model_sharded:
+            # Replicated leaves accumulated their shard-partial contributions.
+            grads = SceneParams(
+                centers=grads.centers,
+                colors=grads.colors,
+                radii=grads.radii,
+                light_dir=jax.lax.psum(grads.light_dir, "model"),
+                ambient=jax.lax.psum(grads.ambient, "model"),
+            )
+        return loss, grads
+
+    sharded_grads = jax.shard_map(
+        device_grads,
+        mesh=mesh,
+        in_specs=(pspec, P(), mask_spec, rep2, rep2, rep2, P(None), P(), P(),
+                  P(), P()),
+        out_specs=(P(), pspec),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(params, opt_state, key, mask, rays_o, rays_d, targets,
+             fg_indices, n_fg, progress, smooth_k, uniform_ratio, lr):
+        loss, grads = sharded_grads(
+            params, key, mask, rays_o, rays_d, targets, fg_indices, n_fg,
+            progress, smooth_k, uniform_ratio,
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def shard_params(params: SceneParams, mesh: Mesh, model_sharded: bool):
+    """Place a params pytree onto the mesh with the step's expected layout."""
+    specs = param_specs(model_sharded)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )

@@ -48,15 +48,22 @@ def render_diff(
     softmax_sharpness: float = 10.0,
     mask_sharpness: float = 15.0,
     normal_eps: float = 1e-4,
+    model_axis: Optional[str] = None,
 ) -> jax.Array:
-    """Render a batch of rays → [N, 3] linear RGB."""
+    """Render a batch of rays → [N, 3] linear RGB.
+
+    With ``model_axis`` set, centers/colors/radii/mask are the local shard of
+    an M-sharded primitive table inside shard_map; soft-min and the softmax
+    compositor combine shards with pmax/psum collectives.
+    """
     # --- Phase 1: detached march (renderer_diff.rs:20-26) ---
     t = march_fn(ray_org, ray_dir, centers, radii, smooth_k, mask=mask,
-                 num_steps=num_steps)
+                 num_steps=num_steps, model_axis=model_axis)
 
     # --- Phase 2: gradient reattachment (renderer_diff.rs:28-38) ---
     p_approx = ray_org + ray_dir * t                 # detached point
-    dist_last = scene_sdf(p_approx, centers, radii, smooth_k, mask=mask)
+    dist_last = scene_sdf(p_approx, centers, radii, smooth_k, mask=mask,
+                          model_axis=model_axis)
     t_final = t + dist_last
     p_final = ray_org + ray_dir * t_final
 
@@ -68,6 +75,7 @@ def render_diff(
         smooth_k,
         mask=mask,
         eps=normal_eps,
+        model_axis=model_axis,
     )
 
     # --- Lambertian shading (renderer_diff.rs:48-62) ---
@@ -81,14 +89,28 @@ def render_diff(
     logits = dists * (-softmax_sharpness)
     if mask is not None:
         logits = jnp.where(mask[None, :].astype(bool), logits, _MASKED_NEG)
-    weights = jax.nn.softmax(logits, axis=1)                          # [N,M]
+    if model_axis is None:
+        weights = jax.nn.softmax(logits, axis=1)                      # [N,M]
+    else:
+        # Sharded softmax: global max then psum'd denominator — the same
+        # two-pass structure as the sharded soft-min.
+        mx = jax.lax.pmax(
+            jax.lax.stop_gradient(jnp.max(logits, axis=1, keepdims=True)),
+            model_axis,
+        )
+        ex = jnp.exp(logits - mx)
+        denom = jax.lax.psum(jnp.sum(ex, axis=1, keepdims=True), model_axis)
+        weights = ex / denom
     mixed_color = jnp.dot(weights, colors,
                           preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)        # [N,3]
+    if model_axis is not None:
+        mixed_color = jax.lax.psum(mixed_color, model_axis)
     object_color = mixed_color * lighting
 
     # --- Coverage mask (renderer_diff.rs:86-90) ---
-    dist_scene = scene_sdf(p_final, centers, radii, smooth_k, mask=mask)
+    dist_scene = scene_sdf(p_final, centers, radii, smooth_k, mask=mask,
+                           model_axis=model_axis)
     coverage = jax.nn.sigmoid(dist_scene * (-mask_sharpness))
 
     return object_color * coverage

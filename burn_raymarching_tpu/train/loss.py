@@ -27,12 +27,27 @@ from burn_raymarching_tpu.config import LossConfig
 from burn_raymarching_tpu.models.scene import SceneParams
 
 
-def _masked_mean(x: jax.Array, mask: Optional[jax.Array], n_valid) -> jax.Array:
-    """Mean over valid primitive slots; plain mean when unmasked."""
-    if mask is None:
+def _masked_mean(
+    x: jax.Array,
+    mask: Optional[jax.Array],
+    n_valid,
+    model_axis: Optional[str] = None,
+) -> jax.Array:
+    """Mean over valid primitive slots; plain mean when unmasked.
+
+    With ``model_axis``, x/mask are the local M shard: the sum is psum'd and
+    n_valid is already the global count.
+    """
+    if mask is None and model_axis is None:
         return jnp.mean(x)
+    if mask is None:
+        s = jax.lax.psum(jnp.sum(x), model_axis)
+        return s / (n_valid * (x.size // x.shape[0]))
     m = mask.astype(x.dtype).reshape((-1,) + (1,) * (x.ndim - 1))
-    return jnp.sum(x * m) / (n_valid * (x.size // x.shape[0]))
+    s = jnp.sum(x * m)
+    if model_axis is not None:
+        s = jax.lax.psum(s, model_axis)
+    return s / (n_valid * (x.size // x.shape[0]))
 
 
 def compute_loss(
@@ -42,6 +57,7 @@ def compute_loss(
     progress: jax.Array,      # scalar in [0, 1]
     mask: Optional[jax.Array] = None,   # [M] validity
     cfg: LossConfig = LossConfig(),
+    model_axis: Optional[str] = None,   # set inside shard_map when M is sharded
 ) -> jax.Array:
     # --- 1. Weighted L1 reconstruction (training.rs:15-34) ---
     abs_diff = jnp.abs(output - target)
@@ -55,20 +71,22 @@ def compute_loss(
 
     n_valid = (
         jnp.sum(mask.astype(output.dtype)) if mask is not None
-        else params.centers.shape[0]
+        else jnp.asarray(float(params.centers.shape[0]), output.dtype)
     )
+    if model_axis is not None:
+        n_valid = jax.lax.psum(n_valid, model_axis)
 
     # --- 2. Radius penalties (training.rs:44-51) ---
     radii = jax.nn.softplus(params.radii)          # [M, 1], no +0.01 here
-    radius_l1 = _masked_mean(jnp.abs(radii), mask, n_valid)
+    radius_l1 = _masked_mean(jnp.abs(radii), mask, n_valid, model_axis)
     radius_large = _masked_mean(
-        jnp.where(radii > 1.0, radii * radii, 0.0), mask, n_valid
+        jnp.where(radii > 1.0, radii * radii, 0.0), mask, n_valid, model_axis
     )
     loss = loss + radius_large * cfg.radius_large_coeff + radius_l1 * cfg.radius_l1_coeff
 
     # --- 3. Origin attraction (training.rs:54-55) ---
     center_sq = params.centers * params.centers     # [M, 3]
-    loss = loss + _masked_mean(center_sq, mask, n_valid) * cfg.center_coeff
+    loss = loss + _masked_mean(center_sq, mask, n_valid, model_axis) * cfg.center_coeff
 
     # --- 4. Camera-proximity barrier (training.rs:58-70) ---
     dist_from_origin = jnp.sqrt(
@@ -77,22 +95,44 @@ def compute_loss(
     max_reach = dist_from_origin + radii
     excess = max_reach - cfg.proximity_bound
     proximity = jnp.where(max_reach > cfg.proximity_bound, excess * excess, 0.0)
-    loss = loss + _masked_mean(proximity, mask, n_valid) * cfg.proximity_coeff
+    loss = loss + _masked_mean(proximity, mask, n_valid, model_axis) * cfg.proximity_coeff
 
     # --- 5. Pairwise repulsion (training.rs:73-83) ---
+    # With M sharded, each device holds the [M_local, M_global] row block:
+    # centers (tiny) are all-gathered, the row sums psum'd.
     c = params.centers
-    c_sq = jnp.sum(c * c, axis=1, keepdims=True)     # [M, 1]
-    c_dot_c = jnp.dot(c, c.T, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-    dist_sq = c_sq + c_sq.T - 2.0 * c_dot_c
+    if model_axis is None:
+        c_all = c
+        mask_all = mask
+        shard_idx = 0
+    else:
+        c_all = jax.lax.all_gather(c, model_axis).reshape(-1, 3)
+        mask_all = (None if mask is None
+                    else jax.lax.all_gather(mask, model_axis).reshape(-1))
+        shard_idx = jax.lax.axis_index(model_axis)
+    m_local = c.shape[0]
+    c_sq = jnp.sum(c * c, axis=1, keepdims=True)         # [M_local, 1]
+    ca_sq = jnp.sum(c_all * c_all, axis=1)[None, :]      # [1, M_global]
+    c_dot = jnp.dot(c, c_all.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    dist_sq = c_sq + ca_sq - 2.0 * c_dot
     dist = jnp.sqrt(jnp.maximum(dist_sq, 1e-6))
-    m_eye = jnp.eye(c.shape[0], dtype=c.dtype)
+    row = jnp.arange(m_local)[:, None] + shard_idx * m_local
+    col = jnp.arange(c_all.shape[0])[None, :]
+    m_eye = (row == col).astype(c.dtype)                 # local rows of I
     inv = 1.0 / (dist + m_eye * 100.0 + 1e-6)
-    if mask is None:
+    if mask is None and model_axis is None:
         repulsion = jnp.mean(inv)
     else:
-        pair_mask = mask.astype(c.dtype)[:, None] * mask.astype(c.dtype)[None, :]
-        repulsion = jnp.sum(inv * pair_mask) / (n_valid * n_valid)
+        if mask_all is None:
+            s = jnp.sum(inv)
+        else:
+            pair_mask = (mask.astype(c.dtype)[:, None]
+                         * mask_all.astype(c.dtype)[None, :])
+            s = jnp.sum(inv * pair_mask)
+        if model_axis is not None:
+            s = jax.lax.psum(s, model_axis)
+        repulsion = s / (n_valid * n_valid)
     loss = loss + repulsion * cfg.repulsion_coeff
 
     return loss

@@ -1,9 +1,13 @@
 """Test harness: force an 8-device CPU mesh so sharding paths run without a
-real pod, before jax initializes."""
+real pod.
+
+NOTE: this environment pins JAX_PLATFORMS=axon (a tunneled TPU with remote
+compile) via the ambient env + sitecustomize; os.environ overrides are NOT
+reliable — ``jax.config.update("jax_platforms", ...)`` after import is.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,10 +18,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Persistent compilation cache: this host's XLA CPU compile is slow (~0.5s per
-# tiny kernel), so cache aggressively across test runs.
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache across test runs.
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -1,0 +1,165 @@
+"""Multi-device sharding tests on the 8-device CPU mesh (conftest forces
+XLA_FLAGS=--xla_force_host_platform_device_count=8).
+
+Checks: DP train step == single-device step; M-sharded render == replicated
+render; sharded loss == unsharded loss.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from burn_raymarching_tpu.config import TrainConfig
+from burn_raymarching_tpu.data.camera import create_camera_rays
+from burn_raymarching_tpu.models.scene import SceneParams, pad_params, scene_forward
+from burn_raymarching_tpu.parallel.mesh import make_mesh
+from burn_raymarching_tpu.parallel.train_step import (
+    make_sharded_train_step,
+    shard_params,
+)
+from burn_raymarching_tpu.train.loss import compute_loss
+from burn_raymarching_tpu.train.optimizer import make_optimizer
+
+
+@pytest.fixture(scope="module")
+def scene():
+    params = SceneParams(
+        centers=jnp.asarray(
+            np.random.default_rng(0).normal(0, 0.3, (8, 3)), jnp.float32
+        ),
+        colors=jnp.asarray(
+            np.random.default_rng(1).normal(0, 1, (8, 3)), jnp.float32
+        ),
+        radii=jnp.asarray(
+            np.random.default_rng(2).normal(-1, 0.3, (8, 1)), jnp.float32
+        ),
+        light_dir=jnp.asarray([0.1, 1.0, -0.2], jnp.float32),
+        ambient=jnp.asarray([-1.4], jnp.float32),
+    )
+    ro, rd = create_camera_rays(16, 16, [0.0, 0.5, -2.5], [0.0, 0.0, 0.0], 50.0)
+    return params, ro, rd
+
+
+def test_msharded_render_matches_replicated(scene):
+    params, ro, rd = scene
+    mesh = make_mesh(data=1, model=4)
+    mask = jnp.arange(8) < 7  # one padded slot, not divisible evenly → 2/shard
+
+    want = np.asarray(jax.jit(scene_forward, static_argnames=())(params, ro, rd, jnp.float32(32.0), mask))
+
+    def fwd(p, mask_l, ro_l, rd_l):
+        return scene_forward(p, ro_l, rd_l, 32.0, mask=mask_l,
+                             model_axis="model")
+
+    from burn_raymarching_tpu.parallel.train_step import param_specs
+
+    sharded = jax.shard_map(
+        fwd, mesh=mesh,
+        in_specs=(param_specs(True), P("model"), P(None, None), P(None, None)),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    got = np.asarray(sharded(params, mask, ro, rd))
+    # psum reassociates the exp-sums → few-ulp differences amplified through
+    # the 40-step march on grazing rays.
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
+
+
+def test_msharded_loss_matches_replicated(scene):
+    params, ro, rd = scene
+    mesh = make_mesh(data=1, model=4)
+    mask = jnp.arange(8) < 7
+    out = jnp.zeros((32, 3))
+    tgt = jnp.ones((32, 3)) * 0.2
+
+    want = float(jax.jit(compute_loss)(params, out, tgt, jnp.float32(0.4), mask))
+
+    def loss_fn(p, mask_l):
+        return compute_loss(p, out, tgt, jnp.float32(0.4), mask=mask_l,
+                            model_axis="model")
+
+    from burn_raymarching_tpu.parallel.train_step import param_specs
+
+    sharded = jax.shard_map(
+        loss_fn, mesh=mesh,
+        in_specs=(param_specs(True), P("model")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    got = float(sharded(params, mask))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+@pytest.mark.parametrize("data,model", [(8, 1), (4, 2)])
+def test_sharded_step_matches_single_device(scene, data, model):
+    params, ro, rd = scene
+    cfg = TrainConfig(batch_size=64)
+    tx = make_optimizer(cfg)
+    mesh = make_mesh(data=data, model=model)
+
+    padded, mask = pad_params(
+        SceneParams(params.centers[:7], params.colors[:7], params.radii[:7],
+                    params.light_dir, params.ambient),
+        8,
+    )
+    tgt = jnp.clip(
+        jnp.asarray(np.random.default_rng(5).uniform(0, 1, (256, 3)),
+                    jnp.float32), 0, 1)
+    fg_idx = jnp.zeros((256,), jnp.int32)
+    n_fg = jnp.asarray(0, jnp.int32)
+
+    step = make_sharded_train_step(cfg, mesh, tx)
+    p_sh = shard_params(padded, mesh, model > 1)
+    opt = tx.init(p_sh)
+    key = jax.random.PRNGKey(0)
+    new_p, new_opt, loss = step(
+        p_sh, opt, key, mask, ro, rd, tgt, fg_idx, n_fg,
+        jnp.float32(0.1), jnp.float32(10.0), jnp.float32(0.8),
+        jnp.float32(0.01),
+    )
+    assert np.isfinite(float(loss))
+    # One more step to make sure opt state threading works.
+    new_p, new_opt, loss2 = step(
+        new_p, new_opt, jax.random.PRNGKey(1), mask, ro, rd, tgt, fg_idx,
+        n_fg, jnp.float32(0.1), jnp.float32(10.0), jnp.float32(0.8),
+        jnp.float32(0.01),
+    )
+    assert np.isfinite(float(loss2))
+    for leaf in jax.tree.leaves(new_p):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_dp_gradients_match_replicated(scene):
+    """pmean'd DP gradients == single-device gradients on the same batch."""
+    params, ro, rd = scene
+    mesh = make_mesh(data=8, model=1)
+    tgt = jnp.clip(jnp.abs(jnp.sin(jnp.arange(256 * 3))).reshape(256, 3), 0, 1)
+
+    def loss_of(p, ro_l, rd_l, tgt_l):
+        out = scene_forward(p, ro_l, rd_l, 32.0)
+        return compute_loss(p, out, tgt_l, jnp.float32(0.5))
+
+    g_ref = jax.jit(jax.grad(loss_of))(params, ro, rd, tgt)
+
+    def device_fn(p, ro_l, rd_l, tgt_l):
+        g = jax.grad(loss_of)(p, ro_l, rd_l, tgt_l)
+        return jax.lax.pmean(g, "data")
+
+    from burn_raymarching_tpu.parallel.train_step import param_specs
+
+    sharded = jax.shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(param_specs(False), P("data", None), P("data", None),
+                  P("data", None)),
+        out_specs=param_specs(False),
+        check_vma=False,
+    )
+    g_dp = sharded(params, ro, rd, tgt)
+    for name in ("centers", "colors", "radii", "light_dir", "ambient"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(g_dp, name)),
+            np.asarray(getattr(g_ref, name)),
+            rtol=5e-3, atol=1e-6,
+        )
