@@ -1,0 +1,65 @@
+"""Camera thinning + outlier rejection + recentering.
+
+Equivalent of the reference's process_cameras.ts: keep every INTERVAL-th
+camera, reject cameras whose target sits further than OUTLIER_THRESHOLD x the
+mean distance from the provisional center, then recenter the scene on the
+inliers' mean target.
+
+Usage: python -m burn_raymarching_tpu.tools.process_cameras
+           [--in data/cameras.json] [--out data/cameras_filtered.json]
+           [--interval 8] [--threshold 1.5] [--scale 1.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def process_cameras(cams: list[dict], interval: int = 8,
+                    threshold: float = 1.5, scale: float = 1.0) -> list[dict]:
+    thinned = cams[::interval]
+    targets = np.array([c["target"] for c in thinned], np.float64)
+    center0 = targets.mean(axis=0)
+    dists = np.linalg.norm(targets - center0, axis=1)
+    keep = dists <= dists.mean() * threshold
+    inliers = [c for c, k in zip(thinned, keep) if k]
+    removed = len(thinned) - len(inliers)
+    if removed:
+        print(f"🚨 Rejected {removed} outlier cameras")
+
+    final_center = np.array([c["target"] for c in inliers],
+                            np.float64).mean(axis=0)
+    out = []
+    for c in inliers:
+        out.append({
+            "file": c["file"],
+            "fov": c["fov"],
+            "origin": ((np.asarray(c["origin"]) - final_center)
+                       * scale).tolist(),
+            "target": ((np.asarray(c["target"]) - final_center)
+                       * scale).tolist(),
+        })
+    return out
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--in", dest="input", default="data/cameras.json")
+    parser.add_argument("--out", default="data/cameras_filtered.json")
+    parser.add_argument("--interval", type=int, default=8)
+    parser.add_argument("--threshold", type=float, default=1.5)
+    parser.add_argument("--scale", type=float, default=1.0)
+    args = parser.parse_args(argv)
+
+    from burn_raymarching_tpu.data.scene_io import load_cameras, save_cameras
+
+    cams = load_cameras(args.input)
+    out = process_cameras(cams, args.interval, args.threshold, args.scale)
+    save_cameras(out, args.out)
+    print(f"✅ Processed {len(cams)} -> {len(out)} valid cameras → {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""CLI tools: generate, chromakey, COLMAP parsing, camera processing,
+perfect-orbit fabrication, offline viewer."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from burn_raymarching_tpu.tools.chromakey import chromakey_image
+from burn_raymarching_tpu.tools.colmap_to_json import (
+    parse_cameras_txt,
+    parse_images_txt,
+    qvec2rotmat,
+)
+from burn_raymarching_tpu.tools.generate import default_cameras
+from burn_raymarching_tpu.tools.generate_perfect_cameras import perfect_orbit
+from burn_raymarching_tpu.tools.process_cameras import process_cameras
+
+
+def test_default_cameras_match_reference(reference_dir):
+    """Our generate rig == the committed data/cameras.json."""
+    with open(os.path.join(reference_dir, "data/cameras.json")) as f:
+        ref = json.load(f)
+    ours = default_cameras("data")
+    assert len(ours) == len(ref) == 10
+    for a, b in zip(ours, ref):
+        assert a["file"] == b["file"]
+        np.testing.assert_allclose(a["origin"], b["origin"], atol=1e-6)
+        np.testing.assert_allclose(a["target"], b["target"], atol=1e-6)
+        assert a["fov"] == b["fov"]
+
+
+def test_generate_cli_small(tmp_path, monkeypatch):
+    from burn_raymarching_tpu.tools.generate import main
+
+    monkeypatch.chdir(tmp_path)
+    main(["--out", "data", "--size", "32"])
+    cams = json.load(open("data/cameras.json"))
+    assert len(cams) == 10
+    img = np.asarray(Image.open("data/target_0.png"))
+    assert img.shape == (32, 32, 3)
+    assert img.max() > 0  # spheres visible
+
+
+def test_chromakey_keeps_center_red_blobs():
+    a = np.zeros((512, 512, 3), np.uint8)
+    a[200:300, 200:300] = [220, 40, 30]    # bright red center blob
+    a[:40, :40] = [220, 40, 30]            # red but at the border
+    a[350:400, 350:400] = [20, 20, 200]    # bright blue (not reddish)
+    out = chromakey_image(Image.fromarray(a))
+    assert out.shape == (256, 256, 3)
+    center = out[100:150, 100:150]
+    assert center[:, :, 0].max() > 150     # red blob kept
+    assert out[:20, :20].max() == 0        # border removed
+    assert out[175:200, 175:200].max() == 0  # blue removed
+
+
+def test_qvec_identity():
+    np.testing.assert_allclose(qvec2rotmat(1, 0, 0, 0), np.eye(3), atol=1e-12)
+
+
+def test_colmap_parse_roundtrip():
+    cameras_txt = "# comment\n1 SIMPLE_PINHOLE 1024 1024 800 512 512\n"
+    fov = parse_cameras_txt(cameras_txt)
+    assert set(fov) == {1}
+    np.testing.assert_allclose(fov[1], np.degrees(2 * np.arctan(1024 / 1600)))
+
+    # Identity rotation, camera at -t.
+    images_txt = (
+        "# comment\n"
+        "1 1 0 0 0 0.5 -0.25 2.0 1 img_0001.jpg\n"
+        "0.0 0.0 1\n"
+    )
+    cfgs = parse_images_txt(images_txt, fov, "pre/")
+    assert len(cfgs) == 1
+    c = cfgs[0]
+    assert c["file"] == "pre/img_0001.jpg"
+    np.testing.assert_allclose(c["origin"], [-0.5, 0.25, -2.0], atol=1e-12)
+    np.testing.assert_allclose(c["target"], [-0.5, 0.25, -1.0], atol=1e-12)
+
+
+def test_process_cameras_thins_rejects_recenters():
+    cams = []
+    for i in range(32):
+        cams.append({"file": f"f{i}.jpg", "fov": 50.0,
+                     "origin": [2.0, 0.5, float(i)],
+                     "target": [1.0, 0.0, 0.0]})
+    cams[8]["target"] = [50.0, 0.0, 0.0]  # outlier (picked by ::8 thinning)
+    out = process_cameras(cams, interval=8, threshold=1.5)
+    assert len(out) == 3  # 4 thinned - 1 outlier
+    # Recentred: mean target of inliers is origin.
+    tgts = np.array([c["target"] for c in out])
+    np.testing.assert_allclose(tgts.mean(axis=0), 0.0, atol=1e-9)
+
+
+def test_perfect_orbit_geometry():
+    cams = perfect_orbit([f"i{i}.jpg" for i in range(8)], "p/", radius=2.0,
+                         height=0.5)
+    assert len(cams) == 8
+    for c in cams:
+        o = np.asarray(c["origin"])
+        np.testing.assert_allclose(np.hypot(o[0], o[2]), 2.0, atol=1e-9)
+        assert o[1] == 0.5
+        # target is unit length along -origin from origin.
+        d = np.asarray(c["target"]) - o
+        np.testing.assert_allclose(np.linalg.norm(d), 1.0, atol=1e-9)
+
+
+def test_viewer_offline_renders(tmp_path, reference_dir, monkeypatch):
+    from burn_raymarching_tpu.tools.viewer_offline import main
+
+    monkeypatch.chdir(tmp_path)
+    scene = os.path.join(reference_dir, "scene.json")
+    main([scene, "--out", "orbit", "--frames", "2", "--size", "32"])
+    assert len(os.listdir("orbit")) == 2
+    img = np.asarray(Image.open("orbit/frame_0000.png"))
+    assert img.shape == (32, 32, 3)
+
+    main([scene, "--out", "orbit_train", "--frames", "1", "--size", "32",
+          "--model", "train"])
+    img2 = np.asarray(Image.open("orbit_train/frame_0000.png"))
+    assert img2.max() > 0
