@@ -87,6 +87,14 @@ class TrainConfig:
     seed: int = 0
     use_pallas: bool = True          # fused Pallas march kernel on TPU
     dtype: str = "float32"
+    # Warm-start march: keep a per-pixel t cache across training steps and
+    # march warm_steps from backoff * cached_t instead of 40 from 0. t is
+    # detached (reference renderer_diff.rs:25) so any converged root of the
+    # CURRENT field is semantically equivalent; the cache is prefilled with a
+    # full cold march at each stage boundary. Off by default (exact parity).
+    warm_start: bool = False
+    warm_steps: int = 16
+    warm_backoff: float = 0.8
 
     render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)

@@ -62,6 +62,7 @@ def scene_forward(
     mask: Optional[jax.Array] = None,
     march_fn: MarchFn = march_xla,
     model_axis: Optional[str] = None,
+    march_normal_fn=None,
 ) -> jax.Array:
     """Full forward: activations + differentiable render → [N, 3].
 
@@ -71,6 +72,7 @@ def scene_forward(
     return render_diff(
         ray_org, ray_dir, centers, colors, radii, light_dir, ambient,
         smooth_k, mask=mask, march_fn=march_fn, model_axis=model_axis,
+        march_normal_fn=march_normal_fn,
     )
 
 

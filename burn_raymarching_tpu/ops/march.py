@@ -41,11 +41,15 @@ def march_xla(
     mask: Optional[jax.Array] = None,
     num_steps: int = 40,
     model_axis: Optional[str] = None,
+    t_init: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Detached sphere-tracing march → final t [N, 1].
 
     Reference: src/renderer_diff.rs:20-26 — t starts at 0, 40 iterations of
-    t <- t + sdf(ro + rd*t), each detached.
+    t <- t + sdf(ro + rd*t), each detached. ``t_init`` warm-starts the march
+    (per-pixel t cache across training steps) — t is detached so any
+    converged root of the *current* field is equivalent; callers pair a
+    nonzero t_init with a reduced num_steps.
     """
     ray_org = jax.lax.stop_gradient(ray_org)
     ray_dir = jax.lax.stop_gradient(ray_dir)
@@ -59,7 +63,10 @@ def march_xla(
                           model_axis=model_axis)
         return jnp.minimum(t, T_MAX)
 
-    t0 = jnp.zeros((ray_org.shape[0], 1), dtype=ray_org.dtype)
+    if t_init is None:
+        t0 = jnp.zeros((ray_org.shape[0], 1), dtype=ray_org.dtype)
+    else:
+        t0 = jax.lax.stop_gradient(t_init)
     t = jax.lax.fori_loop(0, num_steps, body, t0)
     return jax.lax.stop_gradient(t)
 

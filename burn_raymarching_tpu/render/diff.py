@@ -49,34 +49,50 @@ def render_diff(
     mask_sharpness: float = 15.0,
     normal_eps: float = 1e-4,
     model_axis: Optional[str] = None,
+    march_normal_fn=None,
 ) -> jax.Array:
     """Render a batch of rays → [N, 3] linear RGB.
 
     With ``model_axis`` set, centers/colors/radii/mask are the local shard of
     an M-sharded primitive table inside shard_map; soft-min and the softmax
     compositor combine shards with pmax/psum collectives.
+
+    ``march_normal_fn`` (e.g. the fused Pallas march+shade kernel) returns
+    (t, normal) in one call, replacing the separate march + scene_normal —
+    both are fully detached so the gradient topology is unchanged.
     """
-    # --- Phase 1: detached march (renderer_diff.rs:20-26) ---
-    t = march_fn(ray_org, ray_dir, centers, radii, smooth_k, mask=mask,
-                 num_steps=num_steps, model_axis=model_axis)
+    if march_normal_fn is not None:
+        # --- Fused detached march + normals (Pallas fast path) ---
+        t, normal = march_normal_fn(ray_org, ray_dir, centers, radii,
+                                    smooth_k, mask=mask, num_steps=num_steps,
+                                    normal_eps=normal_eps)
+        p_approx = ray_org + ray_dir * t
+        dist_last = scene_sdf(p_approx, centers, radii, smooth_k, mask=mask,
+                              model_axis=model_axis)
+        t_final = t + dist_last
+        p_final = ray_org + ray_dir * t_final
+    else:
+        # --- Phase 1: detached march (renderer_diff.rs:20-26) ---
+        t = march_fn(ray_org, ray_dir, centers, radii, smooth_k, mask=mask,
+                     num_steps=num_steps, model_axis=model_axis)
 
-    # --- Phase 2: gradient reattachment (renderer_diff.rs:28-38) ---
-    p_approx = ray_org + ray_dir * t                 # detached point
-    dist_last = scene_sdf(p_approx, centers, radii, smooth_k, mask=mask,
-                          model_axis=model_axis)
-    t_final = t + dist_last
-    p_final = ray_org + ray_dir * t_final
+        # --- Phase 2: gradient reattachment (renderer_diff.rs:28-38) ---
+        p_approx = ray_org + ray_dir * t                 # detached point
+        dist_last = scene_sdf(p_approx, centers, radii, smooth_k, mask=mask,
+                              model_axis=model_axis)
+        t_final = t + dist_last
+        p_final = ray_org + ray_dir * t_final
 
-    # --- Normals: detached point, detached params (renderer_diff.rs:41-46) ---
-    normal = scene_normal(
-        jax.lax.stop_gradient(p_final),
-        jax.lax.stop_gradient(centers),
-        jax.lax.stop_gradient(radii),
-        smooth_k,
-        mask=mask,
-        eps=normal_eps,
-        model_axis=model_axis,
-    )
+        # --- Normals: detached point + params (renderer_diff.rs:41-46) ---
+        normal = scene_normal(
+            jax.lax.stop_gradient(p_final),
+            jax.lax.stop_gradient(centers),
+            jax.lax.stop_gradient(radii),
+            smooth_k,
+            mask=mask,
+            eps=normal_eps,
+            model_axis=model_axis,
+        )
 
     # --- Lambertian shading (renderer_diff.rs:48-62) ---
     ld_norm = light_dir / jnp.sqrt(jnp.sum(light_dir * light_dir))

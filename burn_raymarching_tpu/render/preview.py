@@ -16,9 +16,10 @@ import numpy as np
 from burn_raymarching_tpu.models.scene import SceneParams, scene_forward
 
 
-@partial(jax.jit, static_argnames=("march_fn",))
-def _forward_chunk(params, ro, rd, smooth_k, mask, march_fn):
-    return scene_forward(params, ro, rd, smooth_k, mask=mask, march_fn=march_fn)
+@partial(jax.jit, static_argnames=("march_fn", "march_normal_fn"))
+def _forward_chunk(params, ro, rd, smooth_k, mask, march_fn, march_normal_fn):
+    return scene_forward(params, ro, rd, smooth_k, mask=mask,
+                         march_fn=march_fn, march_normal_fn=march_normal_fn)
 
 
 def render_tiled(
@@ -29,6 +30,7 @@ def render_tiled(
     mask: Optional[jax.Array] = None,
     chunk: int = 4096,
     march_fn=None,
+    march_normal_fn=None,
 ) -> np.ndarray:
     """Render [P, 3] rays in fixed-size chunks → np.float32 [P, 3]."""
     from burn_raymarching_tpu.ops.march import march_xla
@@ -47,6 +49,7 @@ def render_tiled(
             pad = chunk - (end - start)
             ro = jax.numpy.pad(ro, ((0, pad), (0, 0)))
             rd = jax.numpy.pad(rd, ((0, pad), (0, 0)))
-        out = _forward_chunk(params, ro, rd, sk, mask, march_fn)
+        out = _forward_chunk(params, ro, rd, sk, mask, march_fn,
+                             march_normal_fn)
         outs.append(np.asarray(out)[: end - start])
     return np.concatenate(outs, axis=0)

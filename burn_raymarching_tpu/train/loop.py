@@ -30,11 +30,16 @@ import numpy as np
 
 from burn_raymarching_tpu.config import TrainConfig
 from burn_raymarching_tpu.data.camera import create_camera_rays
-from burn_raymarching_tpu.data.dataset import RayDataset, sample_batch_indices
+from burn_raymarching_tpu.data.dataset import (
+    RayDataset,
+    gather_batch,
+    sample_batch_indices,
+)
 from burn_raymarching_tpu.data.image_io import load_image_as_array, save_array_as_image
 from burn_raymarching_tpu.data.scene_io import export_scene_json, load_cameras
 from burn_raymarching_tpu.models.scene import (
     SceneParams,
+    activate,
     init_scene_params,
     pad_params,
     scene_forward,
@@ -82,47 +87,71 @@ class Trainer:
         self.cfg = cfg
         self.dataset = dataset
         self.log = log
+        self.march_normal_fn = None
         if march_fn is None:
             march_fn = self._default_march()
         self.march_fn = march_fn
         self.tx = make_optimizer(cfg)
+        self.warm = bool(cfg.warm_start and self.march_normal_fn is not None)
         self._step_fn = self._build_step()
         self.loss_history: list[float] = []
+        self.t_cache = None
+        if self.warm:
+            self.t_cache = jnp.zeros((dataset.num_total_pixels,), jnp.float32)
 
     def _default_march(self):
         from burn_raymarching_tpu.ops.march import march_xla
 
         if self.cfg.use_pallas and jax.default_backend() == "tpu":
-            from burn_raymarching_tpu.ops.pallas import march_pallas
+            # Fused march+normals kernel: 47 of the 49 per-step [N,M] field
+            # evaluations run in one VMEM-resident pallas_call.
+            from burn_raymarching_tpu.ops.pallas import march_shade_pallas
 
-            return march_pallas
+            self.march_normal_fn = march_shade_pallas
         return march_xla
 
     def _build_step(self):
         cfg = self.cfg
         march_fn = self.march_fn
+        march_normal_fn = self.march_normal_fn
         batch = cfg.batch_size
 
+        warm = self.warm
+
         @jax.jit
-        def step(params, opt_state, key, mask, rays_o, rays_d, targets,
-                 fg_indices, n_fg, progress, smooth_k, uniform_ratio, lr):
+        def step(params, opt_state, key, mask, packed,
+                 fg_indices, n_fg, progress, smooth_k, uniform_ratio, lr,
+                 t_cache):
             idx = sample_batch_indices(
-                key, rays_o.shape[0], fg_indices, n_fg, batch, uniform_ratio
+                key, packed.shape[0], fg_indices, n_fg, batch, uniform_ratio
             )
-            ro = jnp.take(rays_o, idx, axis=0)
-            rd = jnp.take(rays_d, idx, axis=0)
-            tgt = jnp.take(targets, idx, axis=0)
+            ro, rd, tgt = gather_batch(packed, idx)
+
+            mn_fn = march_normal_fn
+            if warm:
+                # Detached march outside the grad path, warm-started from the
+                # per-pixel cache (backed off so drifted surfaces are still
+                # approached from outside); result threaded into the render.
+                centers_p, _, radii_p, _, _ = activate(
+                    jax.lax.stop_gradient(params))
+                t0 = jnp.take(t_cache, idx)[:, None] * cfg.warm_backoff
+                t, normal = march_normal_fn(
+                    ro, rd, centers_p, radii_p, smooth_k, mask=mask,
+                    num_steps=cfg.warm_steps, t_init=t0)
+                t_cache = t_cache.at[idx].set(t[:, 0])
+                mn_fn = lambda *a, **kw: (t, normal)  # noqa: E731
 
             def loss_fn(p):
                 out = scene_forward(p, ro, rd, smooth_k, mask=mask,
-                                    march_fn=march_fn)
+                                    march_fn=march_fn,
+                                    march_normal_fn=mn_fn)
                 return compute_loss(p, out, tgt, progress, mask=mask,
                                     cfg=cfg.loss)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
-            return params, opt_state, loss
+            return params, opt_state, loss, t_cache
 
         return step
 
@@ -146,16 +175,21 @@ class Trainer:
         ds = self.dataset
         steps = num_steps if num_steps is not None else cfg.steps_per_stage
         loss = jnp.zeros(())
+        if self.warm:
+            self.prefill_t_cache(padded, mask,
+                                 anneal_for_step(cfg, stage, 1)[1])
+        t_cache = (self.t_cache if self.t_cache is not None
+                   else jnp.zeros((0,), jnp.float32))
         t0 = time.time()
         for step in range(1, steps + 1):
             key, sub = jax.random.split(key)
             progress, smooth_k, uniform_ratio = anneal_for_step(cfg, stage, step)
             lr = lr_for_step(cfg, stage, step)
-            padded, opt_state, loss = self._step_fn(
+            padded, opt_state, loss, t_cache = self._step_fn(
                 padded, opt_state, sub, mask,
-                ds.rays_o, ds.rays_d, ds.targets, ds.fg_indices, ds.n_fg,
+                ds.packed, ds.fg_indices, ds.n_fg,
                 jnp.float32(progress), jnp.float32(smooth_k),
-                jnp.float32(uniform_ratio), jnp.float32(lr),
+                jnp.float32(uniform_ratio), jnp.float32(lr), t_cache,
             )
             if step % 100 == 0:
                 lv = float(loss)
@@ -165,7 +199,30 @@ class Trainer:
                     f"  Step {step} | Loss: {lv:.5f} | k: {smooth_k:.1f}"
                     f" | {rate:,.0f} rays/s"
                 )
+        if self.warm:
+            self.t_cache = t_cache
         return padded, mask, loss
+
+    def prefill_t_cache(self, padded, mask, smooth_k):
+        """Full cold march over every dataset pixel → fresh t cache.
+
+        One-time ~(P/B) march batches per stage; every training step then
+        marches only cfg.warm_steps from the cached roots.
+        """
+        cfg = self.cfg
+        ds = self.dataset
+        centers_p, _, radii_p, _, _ = activate(padded)
+        chunks = []
+        chunk = cfg.batch_size
+        n = ds.num_total_pixels
+        for start in range(0, n, chunk):
+            end = min(start + chunk, n)
+            ro = jax.lax.dynamic_slice_in_dim(ds.rays_o, start, end - start)
+            rd = jax.lax.dynamic_slice_in_dim(ds.rays_d, start, end - start)
+            t, _ = self.march_normal_fn(ro, rd, centers_p, radii_p,
+                                        jnp.float32(smooth_k), mask=mask)
+            chunks.append(t[:, 0])
+        self.t_cache = jnp.concatenate(chunks)
 
     def _unpad(self, padded: SceneParams, n: int) -> SceneParams:
         return SceneParams(
@@ -183,7 +240,8 @@ class Trainer:
         )
         img = render_tiled(padded, ro, rd, smooth_k=cfg.max_smooth_k,
                            mask=mask, chunk=cfg.preview_chunk,
-                           march_fn=self.march_fn)
+                           march_fn=self.march_fn,
+                           march_normal_fn=self.march_normal_fn)
         save_array_as_image(img, cfg.width, cfg.height, path)
         self.log(f"Saved image to {path}")
 
