@@ -95,6 +95,10 @@ class TrainConfig:
     warm_start: bool = False
     warm_steps: int = 16
     warm_backoff: float = 0.8
+    # Steps executed per device call (lax.scan chunk). Amortizes host→device
+    # dispatch; must divide steps_per_stage evenly or 1. Logging happens at
+    # chunk boundaries (the reference logs every 100 steps, train.rs:200).
+    steps_per_call: int = 100
 
     render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
@@ -106,6 +110,7 @@ class TrainConfig:
     steps_dir: str = "steps"
     scene_json: str = "scene.json"
     checkpoint_dir: Optional[str] = "checkpoints"
+    metrics_jsonl: Optional[str] = None  # structured metrics sink (utils/metrics.py)
 
     @property
     def total_steps(self) -> int:

@@ -52,6 +52,7 @@ from burn_raymarching_tpu.train.optimizer import (
     lr_for_step,
     make_optimizer,
 )
+from burn_raymarching_tpu.utils.metrics import MetricsLogger
 from burn_raymarching_tpu.utils.padding import bucket_size
 
 
@@ -93,8 +94,12 @@ class Trainer:
         self.march_fn = march_fn
         self.tx = make_optimizer(cfg)
         self.warm = bool(cfg.warm_start and self.march_normal_fn is not None)
+        self._chunk = (cfg.steps_per_call
+                       if cfg.steps_per_stage % cfg.steps_per_call == 0
+                       else 1)
         self._step_fn = self._build_step()
         self.loss_history: list[float] = []
+        self.metrics = MetricsLogger(cfg.metrics_jsonl)
         self.t_cache = None
         if self.warm:
             self.t_cache = jnp.zeros((dataset.num_total_pixels,), jnp.float32)
@@ -111,49 +116,79 @@ class Trainer:
         return march_xla
 
     def _build_step(self):
+        """Jitted multi-step runner: ``steps_per_call`` training steps chained
+        with lax.scan in ONE device program.
+
+        Anneal scalars (progress, smooth_k, uniform_ratio — reference
+        train.rs:170-176) and the mid-stage LR drop (train.rs:193-197) are
+        computed in-graph from the step index, so a whole chunk needs a
+        single dispatch — on this environment's tunneled TPU runtime each
+        launch costs ~32 ms, and real pods also benefit.
+        """
         cfg = self.cfg
         march_fn = self.march_fn
         march_normal_fn = self.march_normal_fn
         batch = cfg.batch_size
-
         warm = self.warm
+        total_steps = float(cfg.total_steps)
+        half_stage = cfg.steps_per_stage // 2
 
         @jax.jit
-        def step(params, opt_state, key, mask, packed,
-                 fg_indices, n_fg, progress, smooth_k, uniform_ratio, lr,
-                 t_cache):
-            idx = sample_batch_indices(
-                key, packed.shape[0], fg_indices, n_fg, batch, uniform_ratio
-            )
-            ro, rd, tgt = gather_batch(packed, idx)
+        def run_chunk(params, opt_state, key, mask, packed, fg_indices, n_fg,
+                      t_cache, stage, step0):
+            def one_step(carry, i):
+                params, opt_state, t_cache = carry
+                # 1-based step within the stage (reference train.rs:169).
+                step = step0 + i + 1
+                global_step = (stage * cfg.steps_per_stage + step).astype(
+                    jnp.float32)
+                progress = global_step / total_steps
+                smooth_k = cfg.min_smooth_k + (
+                    cfg.max_smooth_k - cfg.min_smooth_k) * progress
+                uniform_ratio = cfg.uniform_ratio_start - (
+                    (cfg.uniform_ratio_start - cfg.uniform_ratio_end)
+                    * progress)
+                base_lr = cfg.base_lr * jnp.power(
+                    jnp.float32(cfg.lr_stage_decay), stage.astype(jnp.float32))
+                lr = jnp.where(step > half_stage,
+                               base_lr * cfg.lr_midstage_factor, base_lr)
 
-            mn_fn = march_normal_fn
-            if warm:
-                # Detached march outside the grad path, warm-started from the
-                # per-pixel cache (backed off so drifted surfaces are still
-                # approached from outside); result threaded into the render.
-                centers_p, _, radii_p, _, _ = activate(
-                    jax.lax.stop_gradient(params))
-                t0 = jnp.take(t_cache, idx)[:, None] * cfg.warm_backoff
-                t, normal = march_normal_fn(
-                    ro, rd, centers_p, radii_p, smooth_k, mask=mask,
-                    num_steps=cfg.warm_steps, t_init=t0)
-                t_cache = t_cache.at[idx].set(t[:, 0])
-                mn_fn = lambda *a, **kw: (t, normal)  # noqa: E731
+                k = jax.random.fold_in(key, i)
+                idx = sample_batch_indices(
+                    k, packed.shape[0], fg_indices, n_fg, batch, uniform_ratio
+                )
+                ro, rd, tgt = gather_batch(packed, idx)
 
-            def loss_fn(p):
-                out = scene_forward(p, ro, rd, smooth_k, mask=mask,
-                                    march_fn=march_fn,
-                                    march_normal_fn=mn_fn)
-                return compute_loss(p, out, tgt, progress, mask=mask,
-                                    cfg=cfg.loss)
+                mn_fn = march_normal_fn
+                if warm:
+                    centers_p, _, radii_p, _, _ = activate(
+                        jax.lax.stop_gradient(params))
+                    t0 = jnp.take(t_cache, idx)[:, None] * cfg.warm_backoff
+                    t, normal = march_normal_fn(
+                        ro, rd, centers_p, radii_p, smooth_k, mask=mask,
+                        num_steps=cfg.warm_steps, t_init=t0)
+                    t_cache = t_cache.at[idx].set(t[:, 0])
+                    mn_fn = lambda *a, **kw: (t, normal)  # noqa: E731
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
-            return params, opt_state, loss, t_cache
+                def loss_fn(p):
+                    out = scene_forward(p, ro, rd, smooth_k, mask=mask,
+                                        march_fn=march_fn,
+                                        march_normal_fn=mn_fn)
+                    return compute_loss(p, out, tgt, progress, mask=mask,
+                                        cfg=cfg.loss)
 
-        return step
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = jax.tree.map(lambda p, u: p - lr * u, params,
+                                      updates)
+                return (params, opt_state, t_cache), loss
+
+            (params, opt_state, t_cache), losses = jax.lax.scan(
+                one_step, (params, opt_state, t_cache),
+                jnp.arange(self._chunk))
+            return params, opt_state, t_cache, losses
+
+        return run_chunk
 
     # ------------------------------------------------------------------ #
 
@@ -174,6 +209,11 @@ class Trainer:
         opt_state = self.tx.init(padded)
         ds = self.dataset
         steps = num_steps if num_steps is not None else cfg.steps_per_stage
+        chunk = self._chunk if steps % self._chunk == 0 else 1
+        if chunk != self._chunk:
+            raise ValueError(
+                f"steps ({steps}) must be divisible by steps_per_call "
+                f"({self._chunk})")
         loss = jnp.zeros(())
         if self.warm:
             self.prefill_t_cache(padded, mask,
@@ -181,24 +221,28 @@ class Trainer:
         t_cache = (self.t_cache if self.t_cache is not None
                    else jnp.zeros((0,), jnp.float32))
         t0 = time.time()
-        for step in range(1, steps + 1):
+        stage_arr = jnp.asarray(stage, jnp.int32)
+        for start in range(0, steps, chunk):
             key, sub = jax.random.split(key)
-            progress, smooth_k, uniform_ratio = anneal_for_step(cfg, stage, step)
-            lr = lr_for_step(cfg, stage, step)
-            padded, opt_state, loss, t_cache = self._step_fn(
-                padded, opt_state, sub, mask,
-                ds.packed, ds.fg_indices, ds.n_fg,
-                jnp.float32(progress), jnp.float32(smooth_k),
-                jnp.float32(uniform_ratio), jnp.float32(lr), t_cache,
+            padded, opt_state, t_cache, losses = self._step_fn(
+                padded, opt_state, sub, mask, ds.packed, ds.fg_indices,
+                ds.n_fg, t_cache, stage_arr, jnp.asarray(start, jnp.int32),
             )
-            if step % 100 == 0:
+            step = start + chunk
+            if step % 100 == 0 or step == steps:
+                loss = losses[-1]
                 lv = float(loss)
                 self.loss_history.append(lv)
+                _, smooth_k, _ = anneal_for_step(cfg, stage, step)
                 rate = step * cfg.batch_size / (time.time() - t0)
                 self.log(
                     f"  Step {step} | Loss: {lv:.5f} | k: {smooth_k:.1f}"
                     f" | {rate:,.0f} rays/s"
                 )
+                self.metrics.log(stage=stage, step=step, loss=lv,
+                                 smooth_k=round(smooth_k, 2),
+                                 n_primitives=int(np.asarray(mask).sum()),
+                                 rays_per_s=round(rate))
         if self.warm:
             self.t_cache = t_cache
         return padded, mask, loss
