@@ -1,0 +1,93 @@
+"""Optimizer semantics vs a NumPy oracle of Burn's Adam.
+
+Burn AdamConfig.with_weight_decay (reference train.rs:161-163): classic Adam
+(b1=0.9, b2=0.999, eps=1e-5) with L2-style decay folded into the gradient
+BEFORE the moment updates (burn-optim WeightDecay), bias-corrected moments,
+update = lr * m_hat / (sqrt(v_hat) + eps).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from burn_raymarching_tpu.config import TrainConfig
+from burn_raymarching_tpu.train.optimizer import (
+    anneal_for_step,
+    lr_for_step,
+    make_optimizer,
+)
+
+
+def _oracle_adam_steps(param, grads, lr, wd=1e-5, b1=0.9, b2=0.999, eps=1e-5):
+    m = np.zeros_like(param)
+    v = np.zeros_like(param)
+    p = param.copy()
+    for t, g in enumerate(grads, start=1):
+        g = g + wd * p                      # L2-into-grad (Burn WeightDecay)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        m_hat = m / (1 - b1 ** t)
+        v_hat = v / (1 - b2 ** t)
+        p = p - lr * m_hat / (np.sqrt(v_hat) + eps)
+    return p
+
+
+def test_adam_matches_burn_oracle():
+    rng = np.random.default_rng(0)
+    param = rng.normal(size=(5, 3)).astype(np.float32)
+    grads = [rng.normal(size=(5, 3)).astype(np.float32) for _ in range(7)]
+    lr = 0.05
+
+    cfg = TrainConfig()
+    tx = make_optimizer(cfg)
+    p = jnp.asarray(param)
+    state = tx.init(p)
+    for g in grads:
+        updates, state = tx.update(jnp.asarray(g), state, p)
+        p = p - lr * updates
+    want = _oracle_adam_steps(param, grads, lr)
+    np.testing.assert_allclose(np.asarray(p), want, rtol=1e-5, atol=1e-6)
+
+
+def test_lr_schedule_matches_reference():
+    cfg = TrainConfig()
+    # base 0.05 * 0.6^stage; x0.2 after the midpoint (step > 350).
+    assert lr_for_step(cfg, 0, 1) == 0.05
+    assert lr_for_step(cfg, 0, 350) == 0.05
+    np.testing.assert_allclose(lr_for_step(cfg, 0, 351), 0.01)
+    np.testing.assert_allclose(lr_for_step(cfg, 2, 100), 0.05 * 0.36)
+    np.testing.assert_allclose(lr_for_step(cfg, 2, 700), 0.05 * 0.36 * 0.2)
+
+
+def test_anneal_schedule_matches_reference():
+    cfg = TrainConfig()
+    # global_step = stage*700 + step (1-based); progress over 3500.
+    p, k, u = anneal_for_step(cfg, 0, 1)
+    np.testing.assert_allclose(p, 1 / 3500)
+    np.testing.assert_allclose(k, 5.0 + 27.0 / 3500)
+    np.testing.assert_allclose(u, 0.8 - 0.4 / 3500)
+    p, k, u = anneal_for_step(cfg, 4, 700)
+    np.testing.assert_allclose(p, 1.0)
+    np.testing.assert_allclose(k, 32.0)
+    np.testing.assert_allclose(u, 0.4, rtol=1e-6)
+
+
+def test_scan_chunk_anneals_match_python_path():
+    """The in-graph anneal/LR computation inside the scan chunk must equal
+    the python-side anneal_for_step/lr_for_step used for logging."""
+    cfg = TrainConfig()
+    half = cfg.steps_per_stage // 2
+    for stage in (0, 3):
+        for step0, i in ((0, 0), (100, 57), (600, 99)):
+            step = step0 + i + 1
+            gs = float(stage * cfg.steps_per_stage + step)
+            progress = gs / cfg.total_steps
+            smooth_k = cfg.min_smooth_k + (
+                cfg.max_smooth_k - cfg.min_smooth_k) * progress
+            base_lr = cfg.base_lr * cfg.lr_stage_decay ** stage
+            lr = base_lr * cfg.lr_midstage_factor if step > half else base_lr
+            p_ref, k_ref, _ = anneal_for_step(cfg, stage, step)
+            np.testing.assert_allclose(progress, p_ref, rtol=1e-6)
+            np.testing.assert_allclose(smooth_k, k_ref, rtol=1e-6)
+            np.testing.assert_allclose(lr, lr_for_step(cfg, stage, step),
+                                       rtol=1e-6)
