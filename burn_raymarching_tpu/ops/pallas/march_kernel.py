@@ -36,6 +36,21 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Per-tile VMEM working-set budget. The kernel keeps ~4 live [tile_n, M]
+# f32 intermediates (distances, exps, plus compiler temps); tiles shrink
+# automatically as the primitive table grows so M up to ~100k fits without
+# an M-tiling loop (rays are the long axis — a short tile of 8 rows still
+# fills the 8-sublane fp32 register tile).
+_VMEM_TILE_BUDGET = 6 * 1024 * 1024
+
+
+def _auto_tile(tile_n: int, n: int, m_pad: int) -> int:
+    tile = min(tile_n, _round_up(n, 8))
+    while tile > 8 and tile * m_pad * 4 * 4 > _VMEM_TILE_BUDGET:
+        tile //= 2
+    return max(tile, 8)
+
+
 def _march_kernel(ro_ref, rd_ref, prim_ref, csq_ref, k_ref, t_ref, *,
                   num_steps: int):
     """One ray tile: 40 on-chip march iterations.
@@ -142,9 +157,9 @@ def march_pallas(
 
     n = ray_org.shape[0]
     m = centers.shape[0]
-    tile = min(tile_n, _round_up(n, 8))
-    n_pad = _round_up(n, tile)
     m_pad = _round_up(max(m, _LANE), _LANE)
+    tile = _auto_tile(tile_n, n, m_pad)
+    n_pad = _round_up(n, tile)
 
     ro = jnp.pad(ray_org.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
     rd = jnp.pad(ray_dir.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
