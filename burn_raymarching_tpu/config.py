@@ -99,6 +99,14 @@ class TrainConfig:
     # dispatch; must divide steps_per_stage evenly or 1. Logging happens at
     # chunk boundaries (the reference logs every 100 steps, train.rs:200).
     steps_per_call: int = 100
+    # Coherent-tile culling (ops/culling.py) for large primitive counts:
+    # batch indices are sorted (order-free for a with-replacement mean) and
+    # every field evaluation runs against per-tile top-K tables. Pair with
+    # dataset_order="morton" so sorted indices form compact pixel blocks.
+    use_culling: bool = False
+    cull_budget: int = 256
+    cull_tile: int = 512
+    dataset_order: str = "raster"    # "raster" | "morton"
 
     render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)

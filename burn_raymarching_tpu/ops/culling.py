@@ -91,6 +91,7 @@ def select_tile_primitives(
         keep = keep & mask[None, :].astype(bool)
     # Rank by score with culled entries pushed to +inf.
     ranked = jnp.where(keep, score, jnp.inf)
+    k_budget = min(k_budget, centers.shape[0])
     neg_top, idx = jax.lax.top_k(-ranked, k_budget)           # [B, K]
     valid = jnp.isfinite(-neg_top)
     return idx.astype(jnp.int32), valid

@@ -58,7 +58,13 @@ from burn_raymarching_tpu.utils.padding import bucket_size
 
 def build_dataset(cfg: TrainConfig) -> RayDataset:
     """Load cameras.json + target images → one flat ray dataset
-    (reference train.rs:62-98)."""
+    (reference train.rs:62-98).
+
+    dataset_order="morton" stores each view's rays in Z-order so that SORTED
+    batch indices form compact pixel blocks — the coherence the tile-culled
+    step (use_culling) needs. Pure reordering: sampling and loss semantics
+    are unchanged.
+    """
     cams = load_cameras(cfg.cameras_json)
     ro_list, rd_list, tgt_list = [], [], []
     for cam in cams:
@@ -69,12 +75,17 @@ def build_dataset(cfg: TrainConfig) -> RayDataset:
         ro_list.append(np.asarray(ro))
         rd_list.append(np.asarray(rd))
         tgt_list.append(tgt)
-    return RayDataset(
-        np.concatenate(ro_list),
-        np.concatenate(rd_list),
-        np.concatenate(tgt_list),
-        fg_threshold=cfg.fg_pixel_threshold,
-    )
+    ro = np.concatenate(ro_list)
+    rd = np.concatenate(rd_list)
+    tgt = np.concatenate(tgt_list)
+    if cfg.dataset_order == "morton":
+        from burn_raymarching_tpu.utils.morton import (
+            multi_view_morton_permutation,
+        )
+
+        perm = multi_view_morton_permutation(cfg.width, cfg.height, len(cams))
+        ro, rd, tgt = ro[perm], rd[perm], tgt[perm]
+    return RayDataset(ro, rd, tgt, fg_threshold=cfg.fg_pixel_threshold)
 
 
 class Trainer:
@@ -157,6 +168,10 @@ class Trainer:
                 idx = sample_batch_indices(
                     k, packed.shape[0], fg_indices, n_fg, batch, uniform_ratio
                 )
+                if cfg.use_culling:
+                    # Sorted indices → tile-coherent rays. A with-replacement
+                    # sample is order-free, so the loss is unchanged.
+                    idx = jnp.sort(idx)
                 ro, rd, tgt = gather_batch(packed, idx)
 
                 mn_fn = march_normal_fn
@@ -171,9 +186,21 @@ class Trainer:
                     mn_fn = lambda *a, **kw: (t, normal)  # noqa: E731
 
                 def loss_fn(p):
-                    out = scene_forward(p, ro, rd, smooth_k, mask=mask,
-                                        march_fn=march_fn,
-                                        march_normal_fn=mn_fn)
+                    if cfg.use_culling:
+                        from burn_raymarching_tpu.models.scene import activate
+                        from burn_raymarching_tpu.render.culled import (
+                            render_diff_culled,
+                        )
+
+                        c_p, col_p, r_p, ld_p, amb_p = activate(p)
+                        out = render_diff_culled(
+                            ro, rd, c_p, col_p, r_p, ld_p, amb_p, smooth_k,
+                            mask=mask, tile=cfg.cull_tile,
+                            k_budget=cfg.cull_budget)
+                    else:
+                        out = scene_forward(p, ro, rd, smooth_k, mask=mask,
+                                            march_fn=march_fn,
+                                            march_normal_fn=mn_fn)
                     return compute_loss(p, out, tgt, progress, mask=mask,
                                         cfg=cfg.loss)
 
