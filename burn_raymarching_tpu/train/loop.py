@@ -66,11 +66,25 @@ def build_dataset(cfg: TrainConfig) -> RayDataset:
     are unchanged.
     """
     cams = load_cameras(cfg.cameras_json)
+    # Ray generation: the threaded C++ loader when available (100-view
+    # captures take milliseconds instead of a device dispatch per view),
+    # JAX fallback otherwise — both verified identical (tests/test_native.py).
+    try:
+        from burn_raymarching_tpu.native import camera_rays_native, is_available
+
+        native = is_available()
+    except Exception:
+        native = False
     ro_list, rd_list, tgt_list = [], [], []
     for cam in cams:
-        ro, rd = create_camera_rays(
-            cfg.width, cfg.height, cam["origin"], cam["target"], cam["fov"]
-        )
+        if native:
+            ro, rd = camera_rays_native(
+                cfg.width, cfg.height, cam["origin"], cam["target"],
+                cam["fov"])
+        else:
+            ro, rd = create_camera_rays(
+                cfg.width, cfg.height, cam["origin"], cam["target"],
+                cam["fov"])
         tgt = load_image_as_array(cam["file"])
         ro_list.append(np.asarray(ro))
         rd_list.append(np.asarray(rd))
