@@ -64,8 +64,18 @@ def make_scan_step(cfg, march_normal_fn, warm=False):
                 mn_fn = lambda *a, **kw: (t, normal)  # noqa: E731
 
             def loss_fn(p):
-                out = scene_forward(p, ro, rd, jnp.float32(18.5), mask=mask,
-                                    march_normal_fn=mn_fn)
+                if warm:
+                    # Turbo: fused custom-VJP shade/composite kernel.
+                    from burn_raymarching_tpu.ops.pallas.shade_kernel import (
+                        shade_fused,
+                    )
+
+                    c, col, r, ld, amb = activate(p)
+                    out = shade_fused(ro, rd, t, normal, c, r, col, ld, amb,
+                                      jnp.float32(18.5), mask=mask)
+                else:
+                    out = scene_forward(p, ro, rd, jnp.float32(18.5),
+                                        mask=mask, march_normal_fn=mn_fn)
                 return compute_loss(p, out, tgt, jnp.float32(0.5), mask=mask,
                                     cfg=cfg.loss)
 

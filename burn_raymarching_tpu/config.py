@@ -95,6 +95,9 @@ class TrainConfig:
     warm_start: bool = False
     warm_steps: int = 16
     warm_backoff: float = 0.8
+    # Fused shade/composite custom-VJP kernel for the gradient path
+    # (ops/pallas/shade_kernel.py); active when the Pallas march is.
+    use_fused_shade: bool = True
     # Steps executed per device call (lax.scan chunk). Amortizes host→device
     # dispatch; must divide steps_per_stage evenly or 1. Logging happens at
     # chunk boundaries (the reference logs every 100 steps, train.rs:200).

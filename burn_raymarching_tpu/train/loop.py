@@ -189,19 +189,28 @@ class Trainer:
                 ro, rd, tgt = gather_batch(packed, idx)
 
                 mn_fn = march_normal_fn
-                if warm:
+                fused_shade = (march_normal_fn is not None
+                               and cfg.use_fused_shade
+                               and not cfg.use_culling)
+                if warm or fused_shade:
+                    # Detached march outside the grad path (t and normals
+                    # carry no gradients by construction).
                     centers_p, _, radii_p, _, _ = activate(
                         jax.lax.stop_gradient(params))
-                    t0 = jnp.take(t_cache, idx)[:, None] * cfg.warm_backoff
-                    t, normal = march_normal_fn(
-                        ro, rd, centers_p, radii_p, smooth_k, mask=mask,
-                        num_steps=cfg.warm_steps, t_init=t0)
-                    t_cache = t_cache.at[idx].set(t[:, 0])
+                    if warm:
+                        t0 = (jnp.take(t_cache, idx)[:, None]
+                              * cfg.warm_backoff)
+                        t, normal = march_normal_fn(
+                            ro, rd, centers_p, radii_p, smooth_k, mask=mask,
+                            num_steps=cfg.warm_steps, t_init=t0)
+                        t_cache = t_cache.at[idx].set(t[:, 0])
+                    else:
+                        t, normal = march_normal_fn(
+                            ro, rd, centers_p, radii_p, smooth_k, mask=mask)
                     mn_fn = lambda *a, **kw: (t, normal)  # noqa: E731
 
                 def loss_fn(p):
                     if cfg.use_culling:
-                        from burn_raymarching_tpu.models.scene import activate
                         from burn_raymarching_tpu.render.culled import (
                             render_diff_culled,
                         )
@@ -211,6 +220,13 @@ class Trainer:
                             ro, rd, c_p, col_p, r_p, ld_p, amb_p, smooth_k,
                             mask=mask, tile=cfg.cull_tile,
                             k_budget=cfg.cull_budget)
+                    elif fused_shade:
+                        from burn_raymarching_tpu.ops.pallas.shade_kernel                             import shade_fused
+
+                        c_p, col_p, r_p, ld_p, amb_p = activate(p)
+                        out = shade_fused(ro, rd, t, normal, c_p, r_p,
+                                          col_p, ld_p, amb_p, smooth_k,
+                                          mask=mask)
                     else:
                         out = scene_forward(p, ro, rd, smooth_k, mask=mask,
                                             march_fn=march_fn,
