@@ -34,6 +34,13 @@ def build_config(args) -> "TrainConfig":
         overrides["checkpoint_dir"] = args.checkpoint_dir or None
     if args.no_pallas:
         overrides["use_pallas"] = False
+    if args.turbo:
+        overrides["warm_start"] = True
+        overrides["use_fused_shade"] = True
+    if args.cull:
+        overrides["use_culling"] = True
+        overrides["cull_budget"] = args.cull
+        overrides["dataset_order"] = "morton"
     return TrainConfig(**overrides)
 
 
@@ -55,6 +62,14 @@ def main(argv=None):
     parser.add_argument("--init-n", dest="init_n", type=int, default=None)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--no-pallas", action="store_true")
+    parser.add_argument("--turbo", action="store_true",
+                        help="warm-started march + fused custom-VJP shade "
+                             "kernel (validated at reference quality; "
+                             "fastest TPU configuration)")
+    parser.add_argument("--cull", type=int, default=0, metavar="K",
+                        help="coherent-tile culling with a top-K primitive "
+                             "budget (for large scenes; implies Morton "
+                             "dataset order)")
     args = parser.parse_args(argv)
 
     cfg = build_config(args)
