@@ -70,7 +70,15 @@ def main(argv=None):
                         help="coherent-tile culling with a top-K primitive "
                              "budget (for large scenes; implies Morton "
                              "dataset order)")
+    parser.add_argument("--best-of", dest="best_of", type=int, default=1,
+                        metavar="N",
+                        help="train N seeds and export the best by PSNR on "
+                             "the training views (the prune/split pipeline "
+                             "is stochastic; the reference's committed "
+                             "scene is itself one selected run)")
     args = parser.parse_args(argv)
+
+    import dataclasses
 
     cfg = build_config(args)
     from burn_raymarching_tpu.train.loop import Trainer, build_dataset
@@ -79,8 +87,47 @@ def main(argv=None):
     print(f"Total training pixels: {dataset.num_total_pixels}")
     print(f"Foreground pixels: {dataset.num_fg}, "
           f"Background pixels: {dataset.num_bg}")
-    trainer = Trainer(cfg, dataset)
-    trainer.run(resume=args.resume)
+
+    if args.best_of <= 1:
+        trainer = Trainer(cfg, dataset)
+        trainer.run(resume=args.resume)
+        return
+
+    # Best-of-N: the density-control trajectory is stochastic; train N seeds
+    # and keep the best by PSNR against the training views.
+    from burn_raymarching_tpu.data.image_io import load_image_as_array
+    from burn_raymarching_tpu.data.scene_io import (
+        export_scene_json,
+        load_cameras,
+    )
+    from burn_raymarching_tpu.train.evaluate import evaluate_views
+
+    cams = load_cameras(cfg.cameras_json)
+    tgts = [load_image_as_array(c["file"]) for c in cams]
+    best = None
+    for s in range(args.best_of):
+        run_cfg = dataclasses.replace(
+            cfg, seed=cfg.seed + s,
+            scene_json=f"{cfg.scene_json}.seed{s}",
+            steps_dir=f"{cfg.steps_dir}_seed{s}",
+            checkpoint_dir=None,
+        )
+        print(f"--- best-of run {s + 1}/{args.best_of} "
+              f"(seed {run_cfg.seed}) ---")
+        trainer = Trainer(run_cfg, dataset)
+        padded, mask = trainer.run()
+        res = evaluate_views(
+            padded, cams, tgts, cfg.width, cfg.height, mask=mask,
+            march_fn=trainer.march_fn,
+            march_normal_fn=trainer.march_normal_fn)
+        print(f"    seed {run_cfg.seed}: PSNR mean {res['mean']:.2f}")
+        if best is None or res["mean"] > best[0]:
+            best = (res["mean"], padded, mask, run_cfg.seed)
+    psnr, padded, mask, seed = best
+    import numpy as np
+
+    export_scene_json(padded, cfg.scene_json, mask=np.asarray(mask))
+    print(f"🏆 Best seed {seed}: PSNR {psnr:.2f} → {cfg.scene_json}")
 
 
 if __name__ == "__main__":
