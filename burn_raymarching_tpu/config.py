@@ -109,6 +109,14 @@ class TrainConfig:
     use_culling: bool = False
     cull_budget: int = 256
     cull_tile: int = 512
+    # Two-level selection (ops/culling.build_clusters): cluster bounding
+    # spheres cull first, per-primitive top-K only over surviving clusters.
+    # Wins once the flat [n_tiles, M] top_k dominates — large M AND many
+    # tiles (512px renders); membership refreshes each stage, bounds track
+    # live centers every step (always conservative).
+    cull_hierarchical: bool = False
+    cull_cluster_group: int = 64
+    cull_cluster_budget: int = 32
     dataset_order: str = "raster"    # "raster" | "morton"
 
     render: RenderConfig = dataclasses.field(default_factory=RenderConfig)

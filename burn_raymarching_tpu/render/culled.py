@@ -22,8 +22,10 @@ import jax
 import jax.numpy as jnp
 
 from burn_raymarching_tpu.ops.culling import (
+    PrimitiveClusters,
     gather_tile_tables,
     select_tile_primitives,
+    select_tile_primitives_hier,
     tile_cones,
 )
 from burn_raymarching_tpu.ops.march import T_MAX
@@ -81,17 +83,31 @@ def render_diff_culled(
     mask_sharpness: float = 15.0,
     normal_eps: float = 1e-4,
     t_init: Optional[jax.Array] = None,
+    clusters: Optional[PrimitiveClusters] = None,
+    cluster_budget: int = 32,
 ) -> jax.Array:
-    """Culled differentiable render → [N, 3]. N must divide by ``tile``."""
+    """Culled differentiable render → [N, 3]. N must divide by ``tile``.
+
+    With ``clusters`` (ops/culling.build_clusters), selection goes two-level:
+    cluster bounding spheres first, per-primitive top-K only over surviving
+    clusters' members — O(B·M/G + B·Cb·G) instead of O(B·M), the win at
+    M ≳ 10k where the flat [B, M] top_k dominates the step.
+    """
     n = ray_org.shape[0]
     b = n // tile
     if b * tile != n:
         raise ValueError(f"N={n} not divisible by tile={tile}")
 
     cones = tile_cones(ray_org, ray_dir, tile)
-    idx, valid = select_tile_primitives(
-        cones, jax.lax.stop_gradient(centers),
-        jax.lax.stop_gradient(radii), smooth_k, k_budget, mask=mask)
+    if clusters is not None:
+        idx, valid = select_tile_primitives_hier(
+            cones, jax.lax.stop_gradient(centers),
+            jax.lax.stop_gradient(radii), smooth_k, k_budget,
+            clusters, cluster_budget, mask=mask)
+    else:
+        idx, valid = select_tile_primitives(
+            cones, jax.lax.stop_gradient(centers),
+            jax.lax.stop_gradient(radii), smooth_k, k_budget, mask=mask)
     centers_t, colors_t, radii_t, c_sq_t = gather_tile_tables(
         centers, colors, radii, idx, valid)
 

@@ -41,6 +41,9 @@ def build_config(args) -> "TrainConfig":
         overrides["use_culling"] = True
         overrides["cull_budget"] = args.cull
         overrides["dataset_order"] = "morton"
+    if args.cull_hier:
+        overrides["cull_hierarchical"] = True
+        overrides["cull_cluster_budget"] = args.cull_hier
     return TrainConfig(**overrides)
 
 
@@ -70,6 +73,11 @@ def main(argv=None):
                         help="coherent-tile culling with a top-K primitive "
                              "budget (for large scenes; implies Morton "
                              "dataset order)")
+    parser.add_argument("--cull-hier", dest="cull_hier", type=int, default=0,
+                        metavar="CB",
+                        help="two-level culling: cluster bounding spheres "
+                             "first (budget CB clusters/tile), per-primitive "
+                             "top-K only over their members (requires --cull)")
     parser.add_argument("--best-of", dest="best_of", type=int, default=1,
                         metavar="N",
                         help="train N seeds and export the best by PSNR on "

@@ -160,7 +160,16 @@ class Trainer:
 
         @jax.jit
         def run_chunk(params, opt_state, key, mask, packed, fg_indices, n_fg,
-                      t_cache, stage, step0):
+                      t_cache, stage, step0, cl_member_idx, cl_member_valid):
+            # Hierarchical culling is enabled by a NON-EMPTY cluster table —
+            # a static (shape-level) switch, so both variants jit cleanly.
+            use_hier = cfg.use_culling and cl_member_idx.shape[0] > 0
+            clusters_arg = None
+            if use_hier:
+                from burn_raymarching_tpu.ops.culling import PrimitiveClusters
+
+                clusters_arg = PrimitiveClusters(cl_member_idx,
+                                                 cl_member_valid)
             def one_step(carry, i):
                 params, opt_state, t_cache = carry
                 # 1-based step within the stage (reference train.rs:169).
@@ -219,7 +228,9 @@ class Trainer:
                         out = render_diff_culled(
                             ro, rd, c_p, col_p, r_p, ld_p, amb_p, smooth_k,
                             mask=mask, tile=cfg.cull_tile,
-                            k_budget=cfg.cull_budget)
+                            k_budget=cfg.cull_budget,
+                            clusters=clusters_arg,
+                            cluster_budget=cfg.cull_cluster_budget)
                     elif fused_shade:
                         from burn_raymarching_tpu.ops.pallas.shade_kernel                             import shade_fused
 
@@ -277,6 +288,18 @@ class Trainer:
                                  anneal_for_step(cfg, stage, 1)[1])
         t_cache = (self.t_cache if self.t_cache is not None
                    else jnp.zeros((0,), jnp.float32))
+        # Hierarchical culling: Morton cluster membership refreshed per
+        # stage from the stage-start centers (like the reference's own
+        # host-side density control); in-step bounds track live centers.
+        cl_idx = jnp.zeros((0, 0), jnp.int32)
+        cl_valid = jnp.zeros((0, 0), bool)
+        if cfg.use_culling and cfg.cull_hierarchical:
+            from burn_raymarching_tpu.ops.culling import build_clusters
+
+            cl = build_clusters(np.asarray(padded.centers),
+                                mask=np.asarray(mask),
+                                group=cfg.cull_cluster_group)
+            cl_idx, cl_valid = cl.member_idx, cl.member_valid
         t0 = time.time()
         stage_arr = jnp.asarray(stage, jnp.int32)
         for start in range(0, steps, chunk):
@@ -284,6 +307,7 @@ class Trainer:
             padded, opt_state, t_cache, losses = self._step_fn(
                 padded, opt_state, sub, mask, ds.packed, ds.fg_indices,
                 ds.n_fg, t_cache, stage_arr, jnp.asarray(start, jnp.int32),
+                cl_idx, cl_valid,
             )
             step = start + chunk
             if step % 100 == 0 or step == steps:

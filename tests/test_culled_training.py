@@ -56,3 +56,18 @@ def test_culled_training_runs_and_is_finite(cfg_ds, tmp_path, monkeypatch):
     assert len(tr.loss_history) >= 1
     assert np.isfinite(tr.loss_history).all() if hasattr(
         np, "isfinite") else True
+
+
+def test_hier_culled_training_runs_and_is_finite(cfg_ds, tmp_path,
+                                                 monkeypatch):
+    import dataclasses
+
+    cfg, ds = cfg_ds
+    cfg = dataclasses.replace(cfg, cull_hierarchical=True,
+                              cull_cluster_group=4, cull_cluster_budget=4)
+    monkeypatch.chdir(tmp_path)
+    tr = Trainer(cfg, ds, log=lambda s: None)
+    padded, mask = tr.run()
+    for leaf in [padded.centers, padded.colors, padded.radii,
+                 padded.light_dir, padded.ambient]:
+        assert np.isfinite(np.asarray(leaf)).all()

@@ -115,3 +115,91 @@ def test_small_budget_keeps_strongest(scene):
         lambda *a: render_diff_culled(*a, tile=128, k_budget=8))(
         ro, rd, centers, colors, radii, light, ambient, jnp.float32(32.0)))
     assert np.isfinite(out).all()
+
+
+# --- Hierarchical (two-level) selection ---
+
+def test_build_clusters_partitions_live_primitives(scene):
+    from burn_raymarching_tpu.ops.culling import build_clusters
+
+    centers, _, _, _, _, _, _ = scene
+    m = centers.shape[0]
+    mask = jnp.arange(m) < (m - 8)
+    cl = build_clusters(centers, mask=mask, group=8)
+    member = np.asarray(cl.member_idx)[np.asarray(cl.member_valid)]
+    assert sorted(member.tolist()) == list(range(m - 8))
+
+
+def test_cluster_bounds_contain_member_spheres(scene):
+    from burn_raymarching_tpu.ops.culling import build_clusters, cluster_bounds
+
+    centers, _, radii, _, _, _, _ = scene
+    cl = build_clusters(centers, group=8)
+    bc, br, valid = cluster_bounds(cl, centers, radii)
+    mc = np.asarray(jnp.take(centers, cl.member_idx, axis=0))
+    mr = np.asarray(jnp.take(radii.reshape(-1), cl.member_idx))
+    reach = np.linalg.norm(mc - np.asarray(bc)[:, None, :], axis=2) + mr
+    v = np.asarray(valid)
+    assert (reach[v] <= np.asarray(br).repeat(v.shape[1]).reshape(v.shape)[v]
+            + 1e-5).all()
+
+
+def test_hier_selection_matches_flat(scene):
+    from burn_raymarching_tpu.ops.culling import (
+        build_clusters, select_tile_primitives_hier)
+
+    centers, _, radii, _, _, ro, rd = scene
+    cones = tile_cones(ro, rd, 128)
+    k = jnp.float32(32.0)
+    idx_f, val_f = select_tile_primitives(cones, centers, radii, k, 40)
+    cl = build_clusters(centers, group=8)
+    # cluster_budget = C: no coarse overflow -> identical selected SET.
+    idx_h, val_h = select_tile_primitives_hier(
+        cones, centers, radii, k, 40, cl, cluster_budget=cl.member_idx.shape[0])
+    for b in range(idx_f.shape[0]):
+        flat = set(np.asarray(idx_f)[b][np.asarray(val_f)[b]].tolist())
+        hier = set(np.asarray(idx_h)[b][np.asarray(val_h)[b]].tolist())
+        assert hier == flat
+
+
+def test_hier_culled_render_matches_dense(scene):
+    from burn_raymarching_tpu.ops.culling import build_clusters
+    from burn_raymarching_tpu.render.diff import render_diff
+
+    centers, colors, radii, light, ambient, ro, rd = scene
+    cl = build_clusters(centers, group=8)
+    dense = np.asarray(jax.jit(render_diff)(
+        ro, rd, centers, colors, radii, light, ambient, jnp.float32(32.0)))
+    hier = np.asarray(jax.jit(
+        lambda *a: render_diff_culled(*a, tile=128, k_budget=40,
+                                      clusters=cl, cluster_budget=5))(
+        ro, rd, centers, colors, radii, light, ambient, jnp.float32(32.0)))
+    np.testing.assert_allclose(hier, dense, rtol=8e-3, atol=1e-3)
+
+
+def test_hier_selection_with_mask_excludes_padded(scene):
+    from burn_raymarching_tpu.ops.culling import (
+        build_clusters, select_tile_primitives_hier)
+
+    centers, _, radii, _, _, ro, rd = scene
+    m = centers.shape[0]
+    mask = jnp.arange(m) < (m - 8)
+    cones = tile_cones(ro, rd, 128)
+    # Clusters built WITHOUT the mask; per-step mask must still exclude.
+    cl = build_clusters(centers, group=8)
+    idx, valid = select_tile_primitives_hier(
+        cones, centers, radii, jnp.float32(32.0), 40, cl,
+        cluster_budget=cl.member_idx.shape[0], mask=mask)
+    picked = np.asarray(idx)[np.asarray(valid)]
+    assert (picked < m - 8).all()
+
+
+def test_cluster_overflow_zero_at_full_budget(scene):
+    from burn_raymarching_tpu.ops.culling import build_clusters, cluster_overflow
+
+    centers, _, radii, _, _, ro, rd = scene
+    cones = tile_cones(ro, rd, 128)
+    cl = build_clusters(centers, group=8)
+    ov = cluster_overflow(cones, centers, radii, jnp.float32(32.0), cl,
+                          cluster_budget=cl.member_idx.shape[0])
+    assert int(np.asarray(ov).max()) == 0
