@@ -36,7 +36,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
-_TILE_N = 512
+# 1024-ray tiles measured ~15% faster than 512 on v5e at M=128 (the serial
+# march can't fill the VPU with short tiles); _auto_tile still shrinks the
+# tile as M grows.
+_TILE_N = 1024
 _T_MAX = 1e4     # ops.march.T_MAX
 _MISS_T = 40.0   # any ray past this t can no longer hit a |c|<=1.2+r scene
 _CONV_TOL = 1e-5
@@ -196,7 +199,7 @@ def march_shade_pallas(
     num_steps: int = 40,
     normal_eps: float = 1e-4,
     tile_n: int = _TILE_N,
-    early_exit: bool = True,
+    early_exit: bool = False,
     interpret: bool = False,
     t_init: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, jax.Array]:
@@ -214,6 +217,13 @@ def march_shade_pallas(
     n = ray_org.shape[0]
     m = centers.shape[0]
     m_pad = _round_up(max(m, _LANE), _LANE)
+    if m_pad > 32768:
+        # Even the minimum 8-ray tile overflows VMEM past ~32k primitives
+        # (measured on v5e). Scenes that large should march per-tile top-K
+        # tables instead: render/culled.py (+ ops/culling clusters).
+        raise ValueError(
+            f"dense march kernel supports M <= 32768 (got {m}); use the "
+            "culled renderer (render_diff_culled) for large scenes")
     tile = _auto_tile(tile_n, n, m_pad)
     n_pad = _round_up(n, tile)
 
