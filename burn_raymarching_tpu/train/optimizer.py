@@ -33,7 +33,9 @@ def anneal_for_step(cfg: TrainConfig, stage: int, step: int) -> tuple[float, flo
     """(progress, smooth_k, uniform_ratio) for a 1-based step in a stage
     (reference train.rs:170-176)."""
     global_step = stage * cfg.steps_per_stage + step
-    progress = global_step / cfg.total_steps
+    # Capped at 1 so post-schedule steps (Trainer.polish) hold the final
+    # annealed values; a no-op within the schedule.
+    progress = min(global_step / cfg.total_steps, 1.0)
     smooth_k = cfg.min_smooth_k + (cfg.max_smooth_k - cfg.min_smooth_k) * progress
     uniform_ratio = cfg.uniform_ratio_start - (
         (cfg.uniform_ratio_start - cfg.uniform_ratio_end) * progress

@@ -58,3 +58,31 @@ def test_two_stage_run_produces_artifacts(tmp_path, dataset, monkeypatch):
     tr2 = Trainer(cfg, dataset, log=logs.append)
     tr2.run(resume=True)
     assert any("Resuming" in l for l in logs)
+
+
+def test_polish_refines_final_scene(tmp_path, dataset, monkeypatch,
+                                    reference_dir):
+    from burn_raymarching_tpu.data.image_io import load_image_as_array
+    from burn_raymarching_tpu.data.scene_io import load_cameras
+
+    cams = load_cameras(os.path.join(reference_dir, "data/cameras.json"))
+    tgts = [load_image_as_array(os.path.join(reference_dir, c["file"]))
+            for c in cams]
+    monkeypatch.chdir(tmp_path)
+    cfg = TrainConfig(
+        batch_size=512, stages=1, steps_per_stage=100, use_pallas=False,
+        scene_json="scene.json", steps_dir="steps", checkpoint_dir=None,
+    )
+    tr = Trainer(cfg, dataset, log=lambda s: None)
+    padded, mask = tr.run()
+    n_before = int(np.asarray(mask).sum())
+    padded2, mask2 = tr.polish(padded, mask, rounds=1, cameras=cams,
+                               targets=tgts)
+    # Primitive set is frozen: same live count, finite params, re-export.
+    assert int(np.asarray(mask2).sum()) == n_before
+    for leaf in [padded2.centers, padded2.colors, padded2.radii,
+                 padded2.light_dir, padded2.ambient]:
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert os.path.exists("steps/final_polished.png")
+    scene = json.load(open("scene.json"))
+    assert scene["num_spheres"] == n_before
