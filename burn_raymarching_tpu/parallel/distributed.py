@@ -21,6 +21,14 @@ Topology model:
 Use DistributedTrainer for the full multi-stage schedule on a mesh; it
 reuses the same anneals / density control / export as the single-chip
 Trainer.
+
+KNOWN LIMITATION of the virtual CPU mesh (xla_force_host_platform_
+device_count): XLA:CPU's collective rendezvous nondeterministically crashes
+(rendezvous.h "Check failed: id < num_threads" → SIGSEGV) once a run issues
+a few thousand subgroup all-reduces — typically 30-150 training steps of
+this pipeline, dense or culled, synced or not (reproduced on jax 0.8.x).
+Keep CPU-simulation runs to smoke length (tests and dryrun_multichip do);
+real TPU meshes run collectives over ICI and do not use this code path.
 """
 
 from __future__ import annotations

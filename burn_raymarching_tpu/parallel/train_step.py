@@ -79,13 +79,31 @@ def make_sharded_train_step(
         idx = sample_batch_indices(
             key, rays_o.shape[0], fg_indices, n_fg, batch_local, uniform_ratio
         )
+        if cfg.use_culling:
+            # Tile-coherent rays (loop.py does the same; order-free sample).
+            idx = jnp.sort(idx)
         ro = jnp.take(rays_o, idx, axis=0)
         rd = jnp.take(rays_d, idx, axis=0)
         tgt = jnp.take(targets, idx, axis=0)
 
         def loss_fn(p):
-            out = scene_forward(p, ro, rd, smooth_k, mask=mask,
-                                march_fn=march_fn, model_axis=model_axis)
+            if cfg.use_culling:
+                # Config-5 path: every device culls ITS primitive shard to
+                # per-tile top-K tables; soft-min/softmax combine shards
+                # with pmax/psum inside render_diff_culled.
+                from burn_raymarching_tpu.models.scene import activate
+                from burn_raymarching_tpu.render.culled import (
+                    render_diff_culled,
+                )
+
+                c_p, col_p, r_p, ld_p, amb_p = activate(p)
+                out = render_diff_culled(
+                    ro, rd, c_p, col_p, r_p, ld_p, amb_p, smooth_k,
+                    mask=mask, tile=cfg.cull_tile, k_budget=cfg.cull_budget,
+                    model_axis=model_axis)
+            else:
+                out = scene_forward(p, ro, rd, smooth_k, mask=mask,
+                                    march_fn=march_fn, model_axis=model_axis)
             return compute_loss(p, out, tgt, progress, mask=mask,
                                 cfg=cfg.loss, model_axis=model_axis)
 

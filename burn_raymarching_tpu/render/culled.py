@@ -42,20 +42,30 @@ def _tile_dists(p, centers_t, radii_t, c_sq_t):
     return jnp.sqrt(jnp.maximum(d_sq, 1e-6)) - radii_t[:, None, :]
 
 
-def _tile_soft_min(p, centers_t, radii_t, c_sq_t, k):
+def _tile_soft_min(p, centers_t, radii_t, c_sq_t, k, model_axis=None):
     """[B, T, 1] LogSumExp soft-min (sdf.rs:30-44); invalid slots carry
-    c_sq 1e30 → distances ~1e15 → exact zero weight."""
+    c_sq 1e30 → distances ~1e15 → exact zero weight.
+
+    With ``model_axis``, the tables are per-shard top-K selections of an
+    M-sharded primitive table: global max via pmax, psum'd exp sum — the
+    same two-pass sharded logsumexp as ops/sdf.scene_sdf."""
     d = _tile_dists(p, centers_t, radii_t, c_sq_t)
     val = d * (-k)
     mx = jax.lax.stop_gradient(jnp.max(val, axis=2, keepdims=True))
+    if model_axis is not None:
+        mx = jax.lax.pmax(mx, model_axis)
     s = jnp.sum(jnp.exp(val - mx), axis=2, keepdims=True)
+    if model_axis is not None:
+        s = jax.lax.psum(s, model_axis)
     return (jnp.log(jnp.maximum(s, 1e-8)) + mx) / (-k)
 
 
-def _tile_normals(p, centers_t, radii_t, c_sq_t, k, eps=1e-4):
+def _tile_normals(p, centers_t, radii_t, c_sq_t, k, eps=1e-4,
+                  model_axis=None):
     """6-tap central differences per tile (scene.rs:81-128)."""
     def sdf(q):
-        return _tile_soft_min(q, centers_t, radii_t, c_sq_t, k)[..., 0]
+        return _tile_soft_min(q, centers_t, radii_t, c_sq_t, k,
+                              model_axis=model_axis)[..., 0]
 
     taps = []
     for axis in range(3):
@@ -85,6 +95,7 @@ def render_diff_culled(
     t_init: Optional[jax.Array] = None,
     clusters: Optional[PrimitiveClusters] = None,
     cluster_budget: int = 32,
+    model_axis: Optional[str] = None,
 ) -> jax.Array:
     """Culled differentiable render → [N, 3]. N must divide by ``tile``.
 
@@ -92,6 +103,11 @@ def render_diff_culled(
     cluster bounding spheres first, per-primitive top-K only over surviving
     clusters' members — O(B·M/G + B·Cb·G) instead of O(B·M), the win at
     M ≳ 10k where the flat [B, M] top_k dominates the step.
+
+    With ``model_axis`` (inside shard_map), centers/colors/radii/mask are the
+    LOCAL shard of an M-sharded table: each device selects its own top-K
+    from its shard and the soft-min / softmax reductions combine shards with
+    pmax/psum — culling composes with model parallelism per shard.
     """
     n = ray_org.shape[0]
     b = n // tile
@@ -122,7 +138,7 @@ def render_diff_culled(
 
     def body(_, t):
         p = ro + rd * t
-        t = t + _tile_soft_min(p, cs, rs, qs, ks)
+        t = t + _tile_soft_min(p, cs, rs, qs, ks, model_axis=model_axis)
         return jnp.minimum(t, T_MAX)
 
     t0 = (jnp.zeros((b, tile, 1), ro.dtype) if t_init is None
@@ -131,13 +147,14 @@ def render_diff_culled(
 
     # --- Reattachment (renderer_diff.rs:28-38) ---
     p_approx = ro + rd * t
-    dist_last = _tile_soft_min(p_approx, centers_t, radii_t, c_sq_t, smooth_k)
+    dist_last = _tile_soft_min(p_approx, centers_t, radii_t, c_sq_t, smooth_k,
+                               model_axis=model_axis)
     t_final = t + dist_last
     p_final = ro + rd * t_final
 
     # --- Detached normals (renderer_diff.rs:41-46) ---
     normal = _tile_normals(jax.lax.stop_gradient(p_final), cs, rs, qs, ks,
-                           eps=normal_eps)
+                           eps=normal_eps, model_axis=model_axis)
 
     # --- Shading (renderer_diff.rs:48-62) ---
     ld_norm = light_dir / jnp.sqrt(jnp.sum(light_dir * light_dir))
@@ -149,13 +166,25 @@ def render_diff_culled(
     dists = _tile_dists(p_final, centers_t, radii_t, c_sq_t)
     logits = dists * (-softmax_sharpness)
     logits = jnp.where(valid[:, None, :], logits, _MASKED_NEG)
-    weights = jax.nn.softmax(logits, axis=2)
+    if model_axis is None:
+        weights = jax.nn.softmax(logits, axis=2)
+    else:
+        # Sharded softmax over per-shard top-K tables (render/diff.py:108).
+        mx = jax.lax.pmax(
+            jax.lax.stop_gradient(jnp.max(logits, axis=2, keepdims=True)),
+            model_axis)
+        ex = jnp.exp(logits - mx)
+        denom = jax.lax.psum(jnp.sum(ex, axis=2, keepdims=True), model_axis)
+        weights = ex / denom
     mixed = jnp.einsum("btk,bkc->btc", weights, colors_t,
                        precision=jax.lax.Precision.HIGHEST)
+    if model_axis is not None:
+        mixed = jax.lax.psum(mixed, model_axis)
     object_color = mixed * lighting
 
     # --- Coverage (renderer_diff.rs:86-90) ---
-    dist_scene = _tile_soft_min(p_final, centers_t, radii_t, c_sq_t, smooth_k)
+    dist_scene = _tile_soft_min(p_final, centers_t, radii_t, c_sq_t, smooth_k,
+                                model_axis=model_axis)
     coverage = jax.nn.sigmoid(dist_scene * (-mask_sharpness))
 
     return (object_color * coverage).reshape(n, 3)

@@ -163,3 +163,70 @@ def test_dp_gradients_match_replicated(scene):
             np.asarray(getattr(g_ref, name)),
             rtol=5e-3, atol=1e-6,
         )
+
+
+def test_msharded_culled_render_matches_dense(scene):
+    """Config-5 path: per-shard top-K culling + pmax/psum compositing."""
+    from burn_raymarching_tpu.parallel.train_step import param_specs
+    from burn_raymarching_tpu.render.culled import render_diff_culled
+    from burn_raymarching_tpu.render.diff import render_diff
+
+    params, ro, rd = scene
+    mesh = make_mesh(data=1, model=4)
+    mask = jnp.arange(8) < 7
+    centers = params.centers
+    colors = jax.nn.sigmoid(params.colors)
+    radii = jax.nn.softplus(params.radii) + 0.01
+    light = params.light_dir
+    ambient = jax.nn.sigmoid(params.ambient)
+
+    want = np.asarray(jax.jit(render_diff)(
+        ro, rd, centers, colors, radii, light, ambient, jnp.float32(32.0),
+        mask))
+
+    def fwd(c_l, col_l, r_l, mask_l, ro_l, rd_l):
+        # k_budget == shard size: culling keeps every shard primitive, so
+        # the only difference vs dense is the sharded reduction order.
+        return render_diff_culled(
+            ro_l, rd_l, c_l, col_l, r_l, light, ambient, jnp.float32(32.0),
+            mask=mask_l, tile=64, k_budget=2, model_axis="model")
+
+    m2 = P("model", None)
+    sharded = jax.shard_map(
+        fwd, mesh=mesh,
+        in_specs=(m2, m2, m2, P("model"), P(None, None), P(None, None)),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    got = np.asarray(sharded(centers, colors, radii, mask, ro, rd))
+    np.testing.assert_allclose(got, want, rtol=8e-3, atol=1e-3)
+
+
+def test_sharded_culled_step_runs_finite(scene):
+    params, ro, rd = scene
+    cfg = TrainConfig(batch_size=64, use_culling=True, cull_tile=16,
+                      cull_budget=2)
+    tx = make_optimizer(cfg)
+    mesh = make_mesh(data=2, model=4)
+
+    padded, mask = pad_params(
+        SceneParams(params.centers[:7], params.colors[:7], params.radii[:7],
+                    params.light_dir, params.ambient),
+        8,
+    )
+    tgt = jnp.clip(
+        jnp.asarray(np.random.default_rng(5).uniform(0, 1, (256, 3)),
+                    jnp.float32), 0, 1)
+    fg_idx = jnp.zeros((256,), jnp.int32)
+    n_fg = jnp.asarray(0, jnp.int32)
+
+    step = make_sharded_train_step(cfg, mesh, tx)
+    p_sh = shard_params(padded, mesh, True)
+    opt = tx.init(p_sh)
+    new_p, new_opt, loss = step(
+        p_sh, opt, jax.random.PRNGKey(0), mask, ro, rd, tgt, fg_idx, n_fg,
+        jnp.float32(0.1), jnp.float32(10.0), jnp.float32(0.8),
+        jnp.float32(0.01))
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree.leaves(new_p):
+        assert np.isfinite(np.asarray(leaf)).all()
