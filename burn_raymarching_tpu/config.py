@@ -117,6 +117,11 @@ class TrainConfig:
     cull_hierarchical: bool = False
     cull_cluster_group: int = 64
     cull_cluster_budget: int = 32
+    # Two-level (intra-cluster exact + centroid far-field) repulsion instead
+    # of the exact O(M^2) pairwise term — REQUIRED at M ≳ 20k, where the
+    # [M, M] matrix alone costs ~85 ms/step on one v5e. Uses the same
+    # cluster table as cull_hierarchical.
+    cluster_repulsion: bool = False
     dataset_order: str = "raster"    # "raster" | "morton"
 
     render: RenderConfig = dataclasses.field(default_factory=RenderConfig)

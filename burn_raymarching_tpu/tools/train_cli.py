@@ -44,6 +44,8 @@ def build_config(args) -> "TrainConfig":
     if args.cull_hier:
         overrides["cull_hierarchical"] = True
         overrides["cull_cluster_budget"] = args.cull_hier
+    if args.cluster_repulsion:
+        overrides["cluster_repulsion"] = True
     return TrainConfig(**overrides)
 
 
@@ -84,6 +86,12 @@ def main(argv=None):
                              "the training views (the prune/split pipeline "
                              "is stochastic; the reference's committed "
                              "scene is itself one selected run)")
+    parser.add_argument("--cluster-repulsion", dest="cluster_repulsion",
+                        action="store_true",
+                        help="Barnes-Hut-style two-level repulsion term "
+                             "(exact near clusters + centroid far field) — "
+                             "required at M ≳ 20k where the exact O(M²) "
+                             "pairwise term dominates the step")
     parser.add_argument("--polish", type=int, default=0, metavar="R",
                         help="after the final stage (for --best-of: on the "
                              "winning seed), run R extra last-stage rounds "

@@ -163,13 +163,16 @@ class Trainer:
                       t_cache, stage, step0, cl_member_idx, cl_member_valid):
             # Hierarchical culling is enabled by a NON-EMPTY cluster table —
             # a static (shape-level) switch, so both variants jit cleanly.
-            use_hier = cfg.use_culling and cl_member_idx.shape[0] > 0
+            use_hier = (cfg.use_culling and cfg.cull_hierarchical
+                        and cl_member_idx.shape[0] > 0)
             clusters_arg = None
-            if use_hier:
+            if cl_member_idx.shape[0] > 0:
                 from burn_raymarching_tpu.ops.culling import PrimitiveClusters
 
                 clusters_arg = PrimitiveClusters(cl_member_idx,
                                                  cl_member_valid)
+            rep_clusters = clusters_arg if cfg.cluster_repulsion else None
+            cull_clusters = clusters_arg if use_hier else None
             def one_step(carry, i):
                 params, opt_state, t_cache = carry
                 # 1-based step within the stage (reference train.rs:169).
@@ -233,7 +236,7 @@ class Trainer:
                             ro, rd, c_p, col_p, r_p, ld_p, amb_p, smooth_k,
                             mask=mask, tile=cfg.cull_tile,
                             k_budget=cfg.cull_budget,
-                            clusters=clusters_arg,
+                            clusters=cull_clusters,
                             cluster_budget=cfg.cull_cluster_budget)
                     elif fused_shade:
                         from burn_raymarching_tpu.ops.pallas.shade_kernel                             import shade_fused
@@ -247,7 +250,8 @@ class Trainer:
                                             march_fn=march_fn,
                                             march_normal_fn=mn_fn)
                     return compute_loss(p, out, tgt, progress, mask=mask,
-                                        cfg=cfg.loss)
+                                        cfg=cfg.loss,
+                                        repulsion_clusters=rep_clusters)
 
                 loss, grads = jax.value_and_grad(loss_fn)(params)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
@@ -301,7 +305,8 @@ class Trainer:
         # host-side density control); in-step bounds track live centers.
         cl_idx = jnp.zeros((0, 0), jnp.int32)
         cl_valid = jnp.zeros((0, 0), bool)
-        if cfg.use_culling and cfg.cull_hierarchical:
+        if ((cfg.use_culling and cfg.cull_hierarchical)
+                or cfg.cluster_repulsion):
             from burn_raymarching_tpu.ops.culling import build_clusters
 
             cl = build_clusters(np.asarray(padded.centers),

@@ -108,3 +108,61 @@ def test_radius_penalty_uses_softplus_without_offset(setup):
     # reach = 1e-3 + sp0 < 1.2 → 0; repulsion = 1e-5 * 1/(1e-3+100+1e-6).
     want = 0.002 * sp0 + 1e-5 * 1.0 / (np.sqrt(1e-6) + 100.0 + 1e-6)
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_cluster_repulsion_approximates_exact():
+    """Two-level repulsion ≈ exact pairwise mean; tight when clusters are
+    compact and separated, still close for a generic cloud."""
+    import jax
+    import jax.numpy as jnp
+
+    from burn_raymarching_tpu.ops.culling import build_clusters
+    from burn_raymarching_tpu.train.loss import cluster_repulsion
+
+    def exact(centers, mask):
+        m = centers.shape[0]
+        d = np.sqrt(np.maximum(
+            np.sum((centers[:, None] - centers[None, :]) ** 2, -1), 1e-6))
+        inv = 1.0 / (d + np.eye(m) * 100.0 + 1e-6)
+        w = mask.astype(np.float64)
+        nv = w.sum()
+        return float((inv * w[:, None] * w[None, :]).sum() / (nv * nv))
+
+    rng = np.random.default_rng(3)
+    # Separated compact blobs: approximation should be very tight.
+    blobs = np.concatenate([
+        rng.normal(0, 0.02, (16, 3)) + np.asarray(c)
+        for c in [(0, 0, 0), (2, 0, 0), (0, 2, 0), (0, 0, 2)]
+    ]).astype(np.float32)
+    mask = np.ones(64, bool)
+    cl = build_clusters(blobs, group=16)
+    got = float(cluster_repulsion(jnp.asarray(blobs), cl,
+                                  jnp.asarray(mask), jnp.float32(64)))
+    np.testing.assert_allclose(got, exact(blobs, mask), rtol=2e-3)
+
+    # Generic cloud with padded slots: still close (monopole far field).
+    cloud = rng.normal(0, 0.8, (128, 3)).astype(np.float32)
+    mask = np.arange(128) < 100
+    cl = build_clusters(cloud, mask=mask, group=8)
+    got = float(cluster_repulsion(jnp.asarray(cloud), cl,
+                                  jnp.asarray(mask), jnp.float32(100)))
+    np.testing.assert_allclose(got, exact(cloud, mask), rtol=1e-2)
+
+    # Gradients are finite and broadly aligned with the exact term's.
+    def f_apx(c):
+        return cluster_repulsion(c, cl, jnp.asarray(mask), jnp.float32(100))
+
+
+    def f_exact(c):
+        m = c.shape[0]
+        d2 = jnp.sum((c[:, None] - c[None, :]) ** 2, -1)
+        d = jnp.sqrt(jnp.maximum(d2, 1e-6))
+        inv = 1.0 / (d + jnp.eye(m) * 100.0 + 1e-6)
+        w = jnp.asarray(mask, jnp.float32)
+        return jnp.sum(inv * w[:, None] * w[None, :]) / (100.0 * 100.0)
+
+    g_a = np.asarray(jax.grad(f_apx)(jnp.asarray(cloud)))[mask]
+    g_e = np.asarray(jax.grad(f_exact)(jnp.asarray(cloud)))[mask]
+    assert np.isfinite(g_a).all()
+    cos = (g_a * g_e).sum() / (np.linalg.norm(g_a) * np.linalg.norm(g_e))
+    assert cos > 0.95, cos
