@@ -162,6 +162,17 @@ def morton3(q: "np.ndarray", bits: int = 10) -> "np.ndarray":
     return code
 
 
+def morton_order(centers) -> "np.ndarray":
+    """Host-side Z-order permutation of points (argsort of morton3 codes)."""
+    import numpy as np
+
+    c = np.asarray(centers)
+    lo, hi = c.min(axis=0), c.max(axis=0)
+    scale = np.maximum(hi - lo, 1e-9)
+    q = np.clip(((c - lo) / scale * 1023.0), 0, 1023).astype(np.uint64)
+    return np.argsort(morton3(q), kind="stable")
+
+
 def build_clusters(centers, mask=None, group: int = 64) -> PrimitiveClusters:
     """Morton-sort primitive centers and chunk into clusters of ``group``.
 
@@ -179,12 +190,7 @@ def build_clusters(centers, mask=None, group: int = 64) -> PrimitiveClusters:
     ids = np.nonzero(live)[0]
     if ids.size == 0:
         ids = np.zeros(1, np.int64)
-    c = centers[ids]
-    lo, hi = c.min(axis=0), c.max(axis=0)
-    scale = np.maximum(hi - lo, 1e-9)
-    q = np.clip(((c - lo) / scale * 1023.0), 0, 1023).astype(np.uint64)
-    order = np.argsort(morton3(q), kind="stable")
-    sorted_ids = ids[order]
+    sorted_ids = ids[morton_order(centers[ids])]
     n = sorted_ids.size
     c_count = max(1, -(-n // group))
     pad = c_count * group - n

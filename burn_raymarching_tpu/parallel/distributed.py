@@ -98,10 +98,29 @@ class DistributedTrainer:
 
     def _bucket(self, n: int) -> int:
         b = bucket_size(n)
-        # model-axis sharding needs even primitive shards.
-        while b % self.model:
+        # model-axis sharding needs even primitive shards; cluster repulsion
+        # additionally needs whole G-groups per shard.
+        quantum = self.model * (self.cfg.cull_cluster_group
+                                if self.cfg.cluster_repulsion else 1)
+        while b % quantum:
             b *= 2
         return b
+
+    def _morton_sort(self, params: SceneParams) -> SceneParams:
+        """Z-order the live primitive rows (a scene is a set — pure
+        reordering) so the sharded step's implicit cluster structure
+        (consecutive G-row groups, whole clusters per shard) is spatially
+        coherent."""
+        from burn_raymarching_tpu.ops.culling import morton_order
+
+        order = morton_order(np.asarray(params.centers))
+        return SceneParams(
+            centers=params.centers[order],
+            colors=params.colors[order],
+            radii=params.radii[order],
+            light_dir=params.light_dir,
+            ambient=params.ambient,
+        )
 
     def run(self) -> tuple[SceneParams, jax.Array]:
         cfg = self.cfg
@@ -115,6 +134,8 @@ class DistributedTrainer:
         padded, mask = pad_params(params, self._bucket(params.n))
         for stage in range(cfg.stages):
             self.log(f"=== Stage {stage + 1}/{cfg.stages} (N = {params.n}) ===")
+            if cfg.cluster_repulsion:
+                params = self._morton_sort(params)
             stage_init_centers = np.asarray(params.centers)
             padded, mask = pad_params(params, self._bucket(params.n))
             p_sh = shard_params(padded, self.mesh, self.model > 1)

@@ -86,6 +86,24 @@ def make_sharded_train_step(
         rd = jnp.take(rays_d, idx, axis=0)
         tgt = jnp.take(targets, idx, axis=0)
 
+        rep_clusters = None
+        if cfg.cluster_repulsion:
+            # The primitive buffer is kept Morton-ordered (DistributedTrainer
+            # re-sorts at stage start), so the shard's cluster structure is
+            # implicit: consecutive groups of G local rows. Validity comes
+            # from the local mask shard inside cluster_repulsion.
+            from burn_raymarching_tpu.ops.culling import PrimitiveClusters
+
+            g = cfg.cull_cluster_group
+            m_local = mask.shape[0]
+            if m_local % g:
+                raise ValueError(
+                    f"cluster_repulsion needs the local primitive shard "
+                    f"({m_local}) divisible by cull_cluster_group ({g})")
+            rep_clusters = PrimitiveClusters(
+                jnp.arange(m_local, dtype=jnp.int32).reshape(-1, g),
+                jnp.ones((m_local // g, g), bool))
+
         def loss_fn(p):
             if cfg.use_culling:
                 # Config-5 path: every device culls ITS primitive shard to
@@ -105,7 +123,8 @@ def make_sharded_train_step(
                 out = scene_forward(p, ro, rd, smooth_k, mask=mask,
                                     march_fn=march_fn, model_axis=model_axis)
             return compute_loss(p, out, tgt, progress, mask=mask,
-                                cfg=cfg.loss, model_axis=model_axis)
+                                cfg=cfg.loss, model_axis=model_axis,
+                                repulsion_clusters=rep_clusters)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         # Mean over ray shards (equal shard sizes → mean of means is exact).

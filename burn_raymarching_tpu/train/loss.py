@@ -56,6 +56,7 @@ def cluster_repulsion(
     mask: Optional[jax.Array],
     n_valid,
     near_clusters: int = 8,
+    model_axis: Optional[str] = None,
 ) -> jax.Array:
     """Barnes-Hut-style approximation of the pairwise repulsion mean for
     large M: exact 1/(d+100·I+1e-6) over pairs whose clusters are among the
@@ -69,6 +70,13 @@ def cluster_repulsion(
     misdirects it badly. Relative error of a far pair is
     O((cluster_radius/distance)²). Gradients flow through member positions
     and the (differentiable) centroids.
+
+    With ``model_axis`` (M sharded inside shard_map), ``centers``/``mask``/
+    ``clusters`` are the LOCAL shard (member_idx in local row space): near
+    field is exact within the shard's own clusters, centroids+counts (tiny,
+    C×4 floats) are all-gathered so every remote cluster contributes as a
+    monopole, and the partial sums are psum'd. Since the global Morton order
+    is contiguous per shard, cross-shard cluster pairs are boundary cases.
     """
     member_idx = clusters.member_idx
     member_valid = clusters.member_valid
@@ -103,20 +111,34 @@ def cluster_repulsion(
     s_near = jnp.sum(inv * w[:, :, None] * nb_w[:, None, :])
 
     # Far field: monopoles of every cluster, minus those of the W near
-    # clusters (their pairs are exact above).
+    # clusters (their pairs are exact above). With a sharded M, remote
+    # shards' centroids arrive via all_gather and are always monopoles.
+    if model_axis is None:
+        cents_all = centroids                                # [C_all, 3]
+        counts_all = counts
+        col_offset = 0
+    else:
+        cents_all = jax.lax.all_gather(centroids, model_axis).reshape(-1, 3)
+        counts_all = jax.lax.all_gather(counts, model_axis).reshape(-1)
+        col_offset = jax.lax.axis_index(model_axis) * c_count
+    c_all_count = cents_all.shape[0]
     flat_c = cs.reshape(c_count * g, 3)
     flat_w = w.reshape(c_count * g)
-    diff = flat_c[:, None, :] - centroids[None, :, :]        # [M, C, 3]
+    diff = flat_c[:, None, :] - cents_all[None, :, :]        # [M_l, C_all, 3]
     dist_f = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=2), 1e-6))
-    inv_f = 1.0 / (dist_f + 1e-6)                            # [M, C]
+    inv_f = 1.0 / (dist_f + 1e-6)
     near_hot = jnp.sum(
-        jax.nn.one_hot(nb, c_count, dtype=centers.dtype), axis=1)  # [C, C]
-    far_w = (1.0 - near_hot)[:, None, :] * counts[None, None, :]  # [C,1,C]
-    far_w = jnp.broadcast_to(far_w, (c_count, g, c_count)).reshape(
-        c_count * g, c_count)
+        jax.nn.one_hot(nb + col_offset, c_all_count, dtype=centers.dtype),
+        axis=1)                                              # [C, C_all]
+    far_w = (1.0 - near_hot)[:, None, :] * counts_all[None, None, :]
+    far_w = jnp.broadcast_to(far_w, (c_count, g, c_all_count)).reshape(
+        c_count * g, c_all_count)
     s_far = jnp.sum(inv_f * flat_w[:, None] * far_w)
 
-    return (s_near + s_far) / (n_valid * n_valid)
+    s = s_near + s_far
+    if model_axis is not None:
+        s = jax.lax.psum(s, model_axis)
+    return s / (n_valid * n_valid)
 
 
 def compute_loss(
@@ -169,12 +191,8 @@ def compute_loss(
 
     # --- 5. Pairwise repulsion (training.rs:73-83) ---
     if repulsion_clusters is not None:
-        if model_axis is not None:
-            raise NotImplementedError(
-                "cluster repulsion with a sharded M axis: shard the "
-                "clusters instead (each shard owns whole clusters)")
         repulsion = cluster_repulsion(params.centers, repulsion_clusters,
-                                      mask, n_valid)
+                                      mask, n_valid, model_axis=model_axis)
         return loss + repulsion * cfg.repulsion_coeff
     # With M sharded, each device holds the [M_local, M_global] row block:
     # centers (tiny) are all-gathered, the row sums psum'd.

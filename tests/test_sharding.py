@@ -230,3 +230,71 @@ def test_sharded_culled_step_runs_finite(scene):
     assert np.isfinite(float(loss))
     for leaf in jax.tree.leaves(new_p):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_msharded_cluster_repulsion_matches_local(scene):
+    """Sharded (implicit-cluster) repulsion == unsharded on a Morton-ordered
+    buffer when every cluster fits a shard."""
+    from burn_raymarching_tpu.ops.culling import PrimitiveClusters, morton_order
+    from burn_raymarching_tpu.train.loss import cluster_repulsion
+
+    params, _, _ = scene
+    order = morton_order(np.asarray(params.centers))
+    centers = params.centers[order]                   # [8, 3] Morton-ordered
+    mask = jnp.arange(8) < 7
+    g = 2
+    cl_full = PrimitiveClusters(
+        jnp.arange(8, dtype=jnp.int32).reshape(-1, g),
+        jnp.ones((4, g), bool))
+    want = float(cluster_repulsion(centers, cl_full, mask, jnp.float32(7.0),
+                                   near_clusters=2))
+
+    mesh = make_mesh(data=1, model=4)
+
+    def fn(c_l, mask_l):
+        cl = PrimitiveClusters(
+            jnp.arange(2, dtype=jnp.int32).reshape(-1, g),
+            jnp.ones((1, g), bool))
+        return cluster_repulsion(c_l, cl, mask_l, jnp.float32(7.0),
+                                 near_clusters=2, model_axis="model")
+
+    got = float(jax.shard_map(
+        fn, mesh=mesh, in_specs=(P("model", None), P("model")),
+        out_specs=P(), check_vma=False)(centers, mask))
+    # Sharded near-sets differ (each shard holds 1 cluster -> remote
+    # clusters are monopoles), so allow the approximation gap.
+    np.testing.assert_allclose(got, want, rtol=0.1)
+    assert np.isfinite(got)
+
+
+def test_sharded_culled_cluster_repulsion_step_runs_finite(scene):
+    params, ro, rd = scene
+    cfg = TrainConfig(batch_size=64, use_culling=True, cull_tile=16,
+                      cull_budget=2, cluster_repulsion=True,
+                      cull_cluster_group=2)
+    tx = make_optimizer(cfg)
+    mesh = make_mesh(data=2, model=4)
+
+    padded, mask = pad_params(
+        SceneParams(params.centers[:7], params.colors[:7], params.radii[:7],
+                    params.light_dir, params.ambient),
+        8,
+    )
+    tgt = jnp.clip(
+        jnp.asarray(np.random.default_rng(5).uniform(0, 1, (256, 3)),
+                    jnp.float32), 0, 1)
+    fg_idx = jnp.zeros((256,), jnp.int32)
+    n_fg = jnp.asarray(0, jnp.int32)
+
+    from burn_raymarching_tpu.parallel.train_step import make_sharded_train_step
+
+    step = make_sharded_train_step(cfg, mesh, tx)
+    p_sh = shard_params(padded, mesh, True)
+    opt = tx.init(p_sh)
+    new_p, new_opt, loss = step(
+        p_sh, opt, jax.random.PRNGKey(0), mask, ro, rd, tgt, fg_idx, n_fg,
+        jnp.float32(0.1), jnp.float32(10.0), jnp.float32(0.8),
+        jnp.float32(0.01))
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree.leaves(new_p):
+        assert np.isfinite(np.asarray(leaf)).all()
