@@ -82,6 +82,17 @@ class TrainConfig:
     init_n: int = 7                  # initial primitive count (train.rs:103)
     init_offset: float = 0.1         # 6-direction layout scale (train.rs:111-121)
     init_ambient_logit: float = -1.4  # sigmoid(-1.4)≈0.2 (train.rs:108)
+    # "reference": the 6-directions-plus-center layout (extras at origin).
+    # "cloud": uniform random small-sphere cloud — the sane dense init for
+    # large init_n (configs 4-5).
+    init_layout: str = "reference"
+    init_cloud_extent: float = 0.8
+    init_cloud_radius: float = 0.03
+    # Geometry prior for the cloud init: a JSON file {"points": [x,y,z,...]}
+    # (COLMAP sparse points via tools/colmap_to_json --points-out, or the
+    # generator's GT samples) — 3DGS-style SfM seeding.
+    init_points: str = ""
+    init_points_jitter: float = 0.02
     fg_pixel_threshold: float = 0.05  # dataset fg/bg split (dataset.rs:30)
     preview_chunk: int = 4096        # tiled inference chunk (train.rs:344)
     seed: int = 0

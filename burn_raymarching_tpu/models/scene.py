@@ -76,6 +76,50 @@ def scene_forward(
     )
 
 
+def init_scene_params_cloud(
+    n: int,
+    seed: int = 0,
+    extent: float = 0.8,
+    radius: float = 0.03,
+    ambient_logit: float = -1.4,
+    dtype=jnp.float32,
+    points=None,
+    jitter: float = 0.02,
+) -> SceneParams:
+    """Random-cloud init for large-M from-scratch runs (configs 4-5).
+
+    The reference's 7-primitive layout (init_scene_params) puts every extra
+    primitive at the origin with softplus(0)+0.01 ≈ 0.70 radius — thousands
+    of coincident unit-scale spheres neither render nor prune sensibly. A
+    uniform cloud of small spheres inside the scene bound is the standard
+    3DGS-style dense init; raw radii are softplus⁻¹(radius - 0.01).
+
+    ``points`` ([P, 3]) supplies a geometry prior — e.g. COLMAP sparse SfM
+    points (tools/colmap_to_json.py --points-out), exactly how 3DGS seeds
+    its Gaussians: the n centers are sampled from the points with Gaussian
+    ``jitter``. Without a prior, a uniform cloud rarely contracts onto thin
+    geometry in a reference-length schedule.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    if points is not None:
+        pts = np.asarray(points, np.float32).reshape(-1, 3)
+        idx = rng.integers(0, pts.shape[0], n)
+        centers = (pts[idx]
+                   + rng.normal(0.0, jitter, (n, 3))).astype(np.float32)
+    else:
+        centers = rng.uniform(-extent, extent, (n, 3)).astype(np.float32)
+    raw_r = float(np.log(np.expm1(max(radius - 0.01, 1e-4))))
+    return SceneParams(
+        centers=jnp.asarray(centers, dtype),
+        colors=jnp.zeros((n, 3), dtype=dtype),
+        radii=jnp.full((n, 1), raw_r, dtype=dtype),
+        light_dir=jnp.asarray([0.0, 1.0, 0.0], dtype),
+        ambient=jnp.asarray([ambient_logit], dtype),
+    )
+
+
 def init_scene_params(
     n: int = 7,
     offset: float = 0.1,

@@ -75,11 +75,31 @@ def parse_images_txt(text: str, fov: dict[int, float],
     return configs
 
 
+def parse_points3d_txt(text: str) -> np.ndarray:
+    """points3D.txt → [N, 3] sparse SfM points.
+
+    These are the 3DGS-style geometry prior for dense-cloud initialization
+    (config init_points) — the COLMAP analog of initializing Gaussians from
+    the SfM point cloud. The TS reference tooling ignores this file; large
+    from-scratch clouds don't contract without a prior.
+    """
+    pts = []
+    for line in text.splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        elems = line.split(" ")
+        pts.append([float(elems[1]), float(elems[2]), float(elems[3])])
+    return np.asarray(pts, np.float32).reshape(-1, 3)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--colmap", default="data/tomato/sparse/0")
     parser.add_argument("--out", default="data/cameras.json")
     parser.add_argument("--prefix", default="data/tomato/images_nobg/")
+    parser.add_argument("--points-out", dest="points_out", default=None,
+                        help="also write points3D.txt as a JSON point list "
+                             "(init prior for large-scene training)")
     args = parser.parse_args(argv)
 
     with open(os.path.join(args.colmap, "cameras.txt")) as f:
@@ -91,6 +111,15 @@ def main(argv=None):
 
     save_cameras(configs, args.out)
     print(f"✅ Generated {len(configs)} camera configs to {args.out}")
+
+    if args.points_out:
+        import json
+
+        with open(os.path.join(args.colmap, "points3D.txt")) as f:
+            pts = parse_points3d_txt(f.read())
+        with open(args.points_out, "w") as f:
+            json.dump({"points": pts.reshape(-1).tolist()}, f)
+        print(f"✅ Wrote {pts.shape[0]} sparse points to {args.points_out}")
 
 
 if __name__ == "__main__":

@@ -20,7 +20,7 @@ def build_config(args) -> "TrainConfig":
 
     overrides = {}
     for field in ("batch_size", "width", "height", "stages", "steps_per_stage",
-                  "base_lr", "seed", "init_n"):
+                  "base_lr", "seed", "init_n", "init_layout"):
         v = getattr(args, field, None)
         if v is not None:
             overrides[field] = v
@@ -65,6 +65,10 @@ def main(argv=None):
     parser.add_argument("--lr", dest="base_lr", type=float, default=None)
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--init-n", dest="init_n", type=int, default=None)
+    parser.add_argument("--init-layout", dest="init_layout", default=None,
+                        choices=["reference", "cloud"],
+                        help="cloud: uniform random small-sphere init for "
+                             "large --init-n (configs 4-5)")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--no-pallas", action="store_true")
     parser.add_argument("--turbo", action="store_true",

@@ -505,8 +505,26 @@ class Trainer:
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed)
         rng = np.random.default_rng(cfg.seed)
-        params = init_scene_params(cfg.init_n, cfg.init_offset,
-                                   cfg.init_ambient_logit)
+        if cfg.init_layout == "cloud":
+            from burn_raymarching_tpu.models.scene import (
+                init_scene_params_cloud,
+            )
+
+            points = None
+            if cfg.init_points:
+                import json
+
+                with open(cfg.init_points) as f:
+                    points = np.asarray(
+                        json.load(f)["points"], np.float32).reshape(-1, 3)
+            params = init_scene_params_cloud(
+                cfg.init_n, seed=cfg.seed, extent=cfg.init_cloud_extent,
+                radius=cfg.init_cloud_radius,
+                ambient_logit=cfg.init_ambient_logit,
+                points=points, jitter=cfg.init_points_jitter)
+        else:
+            params = init_scene_params(cfg.init_n, cfg.init_offset,
+                                       cfg.init_ambient_logit)
         start_stage = 0
         if resume:
             ck = self.latest_checkpoint()

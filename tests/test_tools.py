@@ -122,3 +122,53 @@ def test_viewer_offline_renders(tmp_path, reference_dir, monkeypatch):
           "--model", "train"])
     img2 = np.asarray(Image.open("orbit_train/frame_0000.png"))
     assert img2.max() > 0
+
+
+def test_knot_scene_and_ring_cameras():
+    from burn_raymarching_tpu.tools.generate import knot_scene, ring_cameras
+
+    c, col, r = knot_scene(128)
+    assert c.shape == (128, 3) and col.shape == (128, 3)
+    assert np.abs(c).max() <= 0.85 + 1e-5
+    assert (col >= 0).all() and (col <= 1).all()
+    assert (r > 0).all()
+
+    cams = ring_cameras(100)
+    assert len(cams) == 100
+    # All cameras look at the origin from outside the scene bound.
+    for cam in cams:
+        assert np.linalg.norm(cam["origin"]) > 1.5
+        assert cam["target"] == [0.0, 0.0, 0.0]
+    # Distinct positions (no duplicate ring slots).
+    origins = {tuple(np.round(c["origin"], 5)) for c in cams}
+    assert len(origins) == 100
+
+
+def test_cloud_init_with_point_prior():
+    import jax.numpy as jnp
+
+    from burn_raymarching_tpu.models.scene import init_scene_params_cloud
+
+    pts = np.asarray([[0.5, 0.0, 0.0], [-0.5, 0.0, 0.0]], np.float32)
+    p = init_scene_params_cloud(64, seed=1, radius=0.03, points=pts,
+                                jitter=0.01)
+    assert p.centers.shape == (64, 3)
+    # Every center is near one of the prior points.
+    d = np.linalg.norm(
+        np.asarray(p.centers)[:, None, :] - pts[None, :, :], axis=2).min(1)
+    assert d.max() < 0.1
+    # Radius activation maps back to the requested physical size.
+    phys = np.asarray(jnp.log1p(jnp.exp(p.radii)) + 0.01)
+    np.testing.assert_allclose(phys, 0.03, atol=1e-4)
+
+
+def test_colmap_points3d_parse(tmp_path):
+    from burn_raymarching_tpu.tools.colmap_to_json import parse_points3d_txt
+
+    txt = ("# comment\n"
+           "1 0.5 -0.25 2.0 255 0 0 0.5 1 2\n"
+           "\n"
+           "7 -1.0 0.0 3.5 0 255 0 0.1 3 4\n")
+    pts = parse_points3d_txt(txt)
+    np.testing.assert_allclose(
+        pts, [[0.5, -0.25, 2.0], [-1.0, 0.0, 3.5]])
