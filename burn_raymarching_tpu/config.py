@@ -76,6 +76,12 @@ class TrainConfig:
     lr_stage_decay: float = 0.6      # base_lr * 0.6^stage
     lr_midstage_factor: float = 0.2  # step > steps/2 → lr*0.2 (train.rs:193-197)
     weight_decay: float = 1e-5       # Burn WeightDecayConfig (train.rs:162)
+    # "folded" = Burn semantics (decay into the gradient before Adam's
+    # moments). At hundreds+ of primitives this dissolves the scene — Adam
+    # normalizes the decay to a full-lr drift on any coordinate without data
+    # gradient; use "decoupled" (AdamW) for large-M configs. See
+    # train/optimizer.py.
+    weight_decay_mode: str = "folded"
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-5           # Burn AdamConfig default epsilon

@@ -63,16 +63,25 @@ def scene_forward(
     march_fn: MarchFn = march_xla,
     model_axis: Optional[str] = None,
     march_normal_fn=None,
+    num_steps: int = 40,
+    softmax_sharpness: float = 10.0,
+    mask_sharpness: float = 15.0,
+    normal_eps: float = 1e-4,
 ) -> jax.Array:
     """Full forward: activations + differentiable render → [N, 3].
 
-    Reference: src/model/scene.rs:35-57.
+    Reference: src/model/scene.rs:35-57. The sharpness constants default to
+    the reference's; fine-structure scenes (features below ~2/mask_sharpness
+    units) need them scaled up or the forward model cannot represent the
+    geometry at all (see RenderConfig).
     """
     centers, colors, radii, light_dir, ambient = activate(params)
     return render_diff(
         ray_org, ray_dir, centers, colors, radii, light_dir, ambient,
         smooth_k, mask=mask, march_fn=march_fn, model_axis=model_axis,
-        march_normal_fn=march_normal_fn,
+        march_normal_fn=march_normal_fn, num_steps=num_steps,
+        softmax_sharpness=softmax_sharpness, mask_sharpness=mask_sharpness,
+        normal_eps=normal_eps,
     )
 
 

@@ -16,10 +16,14 @@ import numpy as np
 from burn_raymarching_tpu.models.scene import SceneParams, scene_forward
 
 
-@partial(jax.jit, static_argnames=("march_fn", "march_normal_fn"))
-def _forward_chunk(params, ro, rd, smooth_k, mask, march_fn, march_normal_fn):
+@partial(jax.jit, static_argnames=("march_fn", "march_normal_fn",
+                                   "softmax_sharpness", "mask_sharpness"))
+def _forward_chunk(params, ro, rd, smooth_k, mask, march_fn, march_normal_fn,
+                   softmax_sharpness=10.0, mask_sharpness=15.0):
     return scene_forward(params, ro, rd, smooth_k, mask=mask,
-                         march_fn=march_fn, march_normal_fn=march_normal_fn)
+                         march_fn=march_fn, march_normal_fn=march_normal_fn,
+                         softmax_sharpness=softmax_sharpness,
+                         mask_sharpness=mask_sharpness)
 
 
 def render_tiled(
@@ -31,6 +35,8 @@ def render_tiled(
     chunk: int = 4096,
     march_fn=None,
     march_normal_fn=None,
+    softmax_sharpness: float = 10.0,
+    mask_sharpness: float = 15.0,
 ) -> np.ndarray:
     """Render [P, 3] rays in fixed-size chunks → np.float32 [P, 3]."""
     from burn_raymarching_tpu.ops.march import march_xla
@@ -50,6 +56,8 @@ def render_tiled(
             ro = jax.numpy.pad(ro, ((0, pad), (0, 0)))
             rd = jax.numpy.pad(rd, ((0, pad), (0, 0)))
         out = _forward_chunk(params, ro, rd, sk, mask, march_fn,
-                             march_normal_fn)
+                             march_normal_fn,
+                             softmax_sharpness=softmax_sharpness,
+                             mask_sharpness=mask_sharpness)
         outs.append(np.asarray(out)[: end - start])
     return np.concatenate(outs, axis=0)

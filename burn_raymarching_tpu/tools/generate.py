@@ -103,6 +103,14 @@ def main(argv=None):
                         help="override the camera count (default: the "
                              "reference's 10-camera rig; >0 uses a two-ring "
                              "COLMAP-style rig)")
+    parser.add_argument("--gt-k", dest="gt_k", type=float, default=32.0,
+                        help="GT soft-min k (raise for fine structures; "
+                             "reference renderer.rs uses 32)")
+    parser.add_argument("--gt-sharp", dest="gt_sharp", type=float,
+                        default=10.0,
+                        help="GT compositor exp(-s*d) and mask exp(-s*d^2) "
+                             "sharpness (reference uses 10; fine structures "
+                             "need more or the targets themselves halo)")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -131,7 +139,11 @@ def main(argv=None):
     print(f"Generating {len(cams)} target images...")
     import jax
 
-    render = jax.jit(render_gt)
+    import functools
+
+    render = jax.jit(functools.partial(
+        render_gt, smooth_k=args.gt_k, weight_sharpness=args.gt_sharp,
+        mask_sharpness=args.gt_sharp))
     for cam in cams:
         print(f"  -> Rendering {cam['file']}")
         ro, rd = create_camera_rays(args.size, args.size, cam["origin"],

@@ -46,6 +46,17 @@ def build_config(args) -> "TrainConfig":
         overrides["cull_cluster_budget"] = args.cull_hier
     if args.cluster_repulsion:
         overrides["cluster_repulsion"] = True
+    if args.wd_mode:
+        overrides["weight_decay_mode"] = args.wd_mode
+    if args.smooth_k:
+        overrides["min_smooth_k"] = args.smooth_k
+        overrides["max_smooth_k"] = args.smooth_k
+    if args.sharp:
+        from burn_raymarching_tpu.config import RenderConfig
+
+        soft, mask = (float(v) for v in args.sharp.split(","))
+        overrides["render"] = RenderConfig(softmax_sharpness=soft,
+                                           mask_sharpness=mask)
     return TrainConfig(**overrides)
 
 
@@ -90,6 +101,22 @@ def main(argv=None):
                              "the training views (the prune/split pipeline "
                              "is stochastic; the reference's committed "
                              "scene is itself one selected run)")
+    parser.add_argument("--wd-mode", dest="wd_mode", default=None,
+                        choices=["folded", "decoupled"],
+                        help="weight-decay placement: folded = Burn parity "
+                             "(dissolves scenes with hundreds+ primitives — "
+                             "Adam turns it into a full-lr drift on any "
+                             "coordinate without data gradient); decoupled = "
+                             "AdamW, required for large-M configs")
+    parser.add_argument("--smooth-k", dest="smooth_k", type=float,
+                        default=0.0,
+                        help="pin the soft-min k (disables the 5→32 anneal; "
+                             "fine structures want 128+)")
+    parser.add_argument("--sharp", default="",
+                        metavar="SOFTMAX,MASK",
+                        help="compositor/mask sharpness override (reference "
+                             "10,15; fine structures want 40,60 — features "
+                             "below ~2/MASK units cannot be represented)")
     parser.add_argument("--cluster-repulsion", dest="cluster_repulsion",
                         action="store_true",
                         help="Barnes-Hut-style two-level repulsion term "

@@ -40,6 +40,8 @@ def evaluate_views(
     march_fn=None,
     march_normal_fn=None,
     chunk: int = 4096,
+    softmax_sharpness: float = 10.0,
+    mask_sharpness: float = 15.0,
 ) -> dict:
     """Render every camera with the training forward model and compare.
 
@@ -51,7 +53,9 @@ def evaluate_views(
                                     cam["target"], cam["fov"])
         img = render_tiled(params, ro, rd, smooth_k=smooth_k, mask=mask,
                            chunk=chunk, march_fn=march_fn,
-                           march_normal_fn=march_normal_fn)
+                           march_normal_fn=march_normal_fn,
+                           softmax_sharpness=softmax_sharpness,
+                           mask_sharpness=mask_sharpness)
         per_view.append(psnr_u8(encode_u8(img), encode_u8(np.asarray(tgt))))
     return {
         "per_view": per_view,

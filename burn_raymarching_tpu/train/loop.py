@@ -205,9 +205,15 @@ class Trainer:
                 ro, rd, tgt = gather_batch(packed, idx)
 
                 mn_fn = march_normal_fn
+                rc = cfg.render
+                # The fused shade kernel hard-codes the reference's
+                # compositor constants; non-default sharpness (fine-structure
+                # scenes) routes through the parameterized XLA path.
                 fused_shade = (march_normal_fn is not None
                                and cfg.use_fused_shade
-                               and not cfg.use_culling)
+                               and not cfg.use_culling
+                               and (rc.softmax_sharpness,
+                                    rc.mask_sharpness) == (10.0, 15.0))
                 if warm or fused_shade:
                     # Detached march outside the grad path (t and normals
                     # carry no gradients by construction).
@@ -237,7 +243,11 @@ class Trainer:
                             mask=mask, tile=cfg.cull_tile,
                             k_budget=cfg.cull_budget,
                             clusters=cull_clusters,
-                            cluster_budget=cfg.cull_cluster_budget)
+                            cluster_budget=cfg.cull_cluster_budget,
+                            num_steps=rc.march_steps,
+                            softmax_sharpness=rc.softmax_sharpness,
+                            mask_sharpness=rc.mask_sharpness,
+                            normal_eps=rc.normal_eps)
                     elif fused_shade:
                         from burn_raymarching_tpu.ops.pallas.shade_kernel                             import shade_fused
 
@@ -248,7 +258,11 @@ class Trainer:
                     else:
                         out = scene_forward(p, ro, rd, smooth_k, mask=mask,
                                             march_fn=march_fn,
-                                            march_normal_fn=mn_fn)
+                                            march_normal_fn=mn_fn,
+                                            num_steps=rc.march_steps,
+                                            softmax_sharpness=rc.softmax_sharpness,
+                                            mask_sharpness=rc.mask_sharpness,
+                                            normal_eps=rc.normal_eps)
                     return compute_loss(p, out, tgt, progress, mask=mask,
                                         cfg=cfg.loss,
                                         repulsion_clusters=rep_clusters)
@@ -384,7 +398,9 @@ class Trainer:
             return evaluate_views(
                 p, cameras, targets, cfg.width, cfg.height, mask=m,
                 march_fn=self.march_fn,
-                march_normal_fn=self.march_normal_fn)["mean"]
+                march_normal_fn=self.march_normal_fn,
+                softmax_sharpness=cfg.render.softmax_sharpness,
+                mask_sharpness=cfg.render.mask_sharpness)["mean"]
 
         best_psnr = psnr(padded, mask)
         self.log(f"Polish baseline: PSNR {best_psnr:.2f}")
@@ -448,7 +464,9 @@ class Trainer:
         img = render_tiled(padded, ro, rd, smooth_k=cfg.max_smooth_k,
                            mask=mask, chunk=cfg.preview_chunk,
                            march_fn=self.march_fn,
-                           march_normal_fn=self.march_normal_fn)
+                           march_normal_fn=self.march_normal_fn,
+                           softmax_sharpness=cfg.render.softmax_sharpness,
+                           mask_sharpness=cfg.render.mask_sharpness)
         save_array_as_image(img, cfg.width, cfg.height, path)
         self.log(f"Saved image to {path}")
 

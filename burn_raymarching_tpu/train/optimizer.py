@@ -16,6 +16,25 @@ from burn_raymarching_tpu.config import TrainConfig
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Adam with weight decay.
+
+    weight_decay_mode="folded" (default) matches Burn: decay is added to the
+    gradient BEFORE the moment updates. CAUTION at scale: Adam normalizes
+    per-coordinate, so folded decay moves any coordinate whose data gradient
+    is ~zero by the FULL learning rate per step (sign(p), not wd·p). With the
+    reference's 6-7 primitives every sphere gets data gradient every batch
+    and the drift never shows; with hundreds+ of small primitives most get
+    none in a given batch and folded decay alone dissolves the scene
+    (measured: a frozen-gradient GT knot collapses 35.6 → 18 dB in 300
+    steps). Large-M configs should use "decoupled" (AdamW-style: the decay
+    bypasses the moments, giving the intended p -= lr·wd·p).
+    """
+    if cfg.weight_decay_mode == "decoupled":
+        return optax.chain(
+            optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2,
+                                eps=cfg.adam_eps),
+            optax.add_decayed_weights(cfg.weight_decay),
+        )
     return optax.chain(
         optax.add_decayed_weights(cfg.weight_decay),
         optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps),

@@ -91,3 +91,42 @@ def test_scan_chunk_anneals_match_python_path():
             np.testing.assert_allclose(smooth_k, k_ref, rtol=1e-6)
             np.testing.assert_allclose(lr, lr_for_step(cfg, stage, step),
                                        rtol=1e-6)
+
+
+def test_folded_decay_drifts_at_full_lr_without_data_gradient():
+    """The large-M pathology: under folded (Burn) decay, a coordinate with
+    ZERO data gradient moves by ~lr per step (Adam normalizes the decay
+    gradient to sign(p)); under decoupled (AdamW) decay it moves by
+    lr*wd*|p| — 5 orders of magnitude less at the reference's wd=1e-5."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from burn_raymarching_tpu.config import TrainConfig
+    from burn_raymarching_tpu.models.scene import SceneParams
+
+    params = SceneParams(
+        centers=jnp.full((4, 3), 0.8),
+        colors=jnp.full((4, 3), 1.0),
+        radii=jnp.full((4, 1), -3.0),
+        light_dir=jnp.asarray([0.0, 1.0, 0.0]),
+        ambient=jnp.asarray([-1.4]),
+    )
+    zero_g = jax.tree.map(jnp.zeros_like, params)
+    lr = 0.005
+
+    def drift(mode, steps=50):
+        cfg = dataclasses.replace(TrainConfig(), weight_decay_mode=mode)
+        tx = make_optimizer(cfg)
+        opt = tx.init(params)
+        p = params
+        for _ in range(steps):
+            upd, opt = tx.update(zero_g, opt, p)
+            p = jax.tree.map(lambda a, u: a - lr * u, p, upd)
+        return float(jnp.abs(p.centers - params.centers).max())
+
+    d_folded = drift("folded")
+    d_decoupled = drift("decoupled")
+    # folded: ~lr * steps (full-rate drift); decoupled: ~lr * wd * |p| * steps
+    assert d_folded > 0.1, d_folded
+    assert d_decoupled < 1e-5, d_decoupled
