@@ -82,6 +82,18 @@ class TrainConfig:
     # gradient; use "decoupled" (AdamW) for large-M configs. See
     # train/optimizer.py.
     weight_decay_mode: str = "folded"
+    # Per-parameter-group learning-rate multipliers (x base LR schedule).
+    # All 1.0 = reference parity. Many-small-primitive scenes need geometry
+    # rates far below appearance rates: the loss landscape w.r.t. a tiny
+    # primitive's center is a razor-thin, nearly flat valley (measured
+    # same-batch line-search gain ~1e-5) and Adam's normalized steps
+    # otherwise walk primitives onto the zero-gradient plateau, dissolving
+    # the scene. Validated recipe for prior-seeded clouds:
+    # centers 0.01, radii 0.1, colors/light 1.0 (with base_lr ~0.02).
+    lr_scale_centers: float = 1.0
+    lr_scale_colors: float = 1.0
+    lr_scale_radii: float = 1.0
+    lr_scale_light: float = 1.0
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-5           # Burn AdamConfig default epsilon

@@ -158,7 +158,12 @@ def make_sharded_train_step(
             progress, smooth_k, uniform_ratio,
         )
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+        lr_scales = SceneParams(
+            centers=cfg.lr_scale_centers, colors=cfg.lr_scale_colors,
+            radii=cfg.lr_scale_radii, light_dir=cfg.lr_scale_light,
+            ambient=cfg.lr_scale_light)
+        params = jax.tree.map(lambda p, u, s: p - lr * s * u, params,
+                              updates, lr_scales)
         return params, opt_state, loss
 
     return step

@@ -57,6 +57,10 @@ def build_config(args) -> "TrainConfig":
         soft, mask = (float(v) for v in args.sharp.split(","))
         overrides["render"] = RenderConfig(softmax_sharpness=soft,
                                            mask_sharpness=mask)
+    if args.lr_scales:
+        c, col, r, l = (float(v) for v in args.lr_scales.split(","))
+        overrides.update(lr_scale_centers=c, lr_scale_colors=col,
+                         lr_scale_radii=r, lr_scale_light=l)
     return TrainConfig(**overrides)
 
 
@@ -117,6 +121,12 @@ def main(argv=None):
                         help="compositor/mask sharpness override (reference "
                              "10,15; fine structures want 40,60 — features "
                              "below ~2/MASK units cannot be represented)")
+    parser.add_argument("--lr-scales", dest="lr_scales", default="",
+                        metavar="CENTERS,COLORS,RADII,LIGHT",
+                        help="per-group LR multipliers (default 1,1,1,1). "
+                             "Prior-seeded large scenes: 0.01,1,0.1,1 — "
+                             "geometry rates far below appearance (see "
+                             "config.TrainConfig)")
     parser.add_argument("--cluster-repulsion", dest="cluster_repulsion",
                         action="store_true",
                         help="Barnes-Hut-style two-level repulsion term "
@@ -173,8 +183,11 @@ def main(argv=None):
         padded, mask = trainer.run()
         res = evaluate_views(
             padded, cams, tgts, cfg.width, cfg.height, mask=mask,
+            smooth_k=cfg.max_smooth_k,
             march_fn=trainer.march_fn,
-            march_normal_fn=trainer.march_normal_fn)
+            march_normal_fn=trainer.march_normal_fn,
+            softmax_sharpness=cfg.render.softmax_sharpness,
+            mask_sharpness=cfg.render.mask_sharpness)
         print(f"    seed {run_cfg.seed}: PSNR mean {res['mean']:.2f}")
         if best is None or res["mean"] > best[0]:
             best = (res["mean"], padded, mask, run_cfg.seed, trainer)
@@ -187,8 +200,11 @@ def main(argv=None):
                                       targets=tgts)
         res = evaluate_views(
             padded, cams, tgts, cfg.width, cfg.height, mask=mask,
+            smooth_k=cfg.max_smooth_k,
             march_fn=trainer.march_fn,
-            march_normal_fn=trainer.march_normal_fn)
+            march_normal_fn=trainer.march_normal_fn,
+            softmax_sharpness=cfg.render.softmax_sharpness,
+            mask_sharpness=cfg.render.mask_sharpness)
         print(f"    polished: PSNR mean {res['mean']:.2f}")
         psnr = res["mean"]
     export_scene_json(padded, cfg.scene_json, mask=np.asarray(mask))

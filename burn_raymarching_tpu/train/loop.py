@@ -269,8 +269,12 @@ class Trainer:
 
                 loss, grads = jax.value_and_grad(loss_fn)(params)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
-                params = jax.tree.map(lambda p, u: p - lr * u, params,
-                                      updates)
+                lr_scales = SceneParams(
+                    centers=cfg.lr_scale_centers, colors=cfg.lr_scale_colors,
+                    radii=cfg.lr_scale_radii, light_dir=cfg.lr_scale_light,
+                    ambient=cfg.lr_scale_light)
+                params = jax.tree.map(lambda p, u, s: p - lr * s * u, params,
+                                      updates, lr_scales)
                 return (params, opt_state, t_cache), loss
 
             (params, opt_state, t_cache), losses = jax.lax.scan(
@@ -397,6 +401,7 @@ class Trainer:
         def psnr(p, m):
             return evaluate_views(
                 p, cameras, targets, cfg.width, cfg.height, mask=m,
+                smooth_k=cfg.max_smooth_k,
                 march_fn=self.march_fn,
                 march_normal_fn=self.march_normal_fn,
                 softmax_sharpness=cfg.render.softmax_sharpness,

@@ -130,3 +130,39 @@ def test_folded_decay_drifts_at_full_lr_without_data_gradient():
     # folded: ~lr * steps (full-rate drift); decoupled: ~lr * wd * |p| * steps
     assert d_folded > 0.1, d_folded
     assert d_decoupled < 1e-5, d_decoupled
+
+
+def test_lr_scale_zero_freezes_group(reference_dir):
+    """lr_scale_centers=0 must leave centers bit-identical over a stage."""
+    import dataclasses
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from burn_raymarching_tpu.config import TrainConfig
+    from burn_raymarching_tpu.train.loop import Trainer, build_dataset
+
+    cfg = TrainConfig(
+        batch_size=256, stages=1, steps_per_stage=10, steps_per_call=10,
+        use_pallas=False, checkpoint_dir=None, lr_scale_centers=0.0,
+        cameras_json=os.path.join(reference_dir, "data/cameras.json"),
+    )
+    cwd = os.getcwd()
+    os.chdir(reference_dir)
+    try:
+        ds = build_dataset(cfg)
+    finally:
+        os.chdir(cwd)
+    tr = Trainer(cfg, ds, log=lambda s: None)
+    from burn_raymarching_tpu.models.scene import init_scene_params, pad_params
+    params = init_scene_params(cfg.init_n)
+    import jax
+
+    padded0, mask = pad_params(params, 8)
+    padded, mask, _ = tr.run_stage(params, 0, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(padded.centers),
+                                  np.asarray(padded0.centers))
+    # Other groups did move.
+    assert np.abs(np.asarray(padded.colors)
+                  - np.asarray(padded0.colors)).max() > 1e-5
