@@ -96,6 +96,8 @@ def render_diff_culled(
     clusters: Optional[PrimitiveClusters] = None,
     cluster_budget: int = 32,
     model_axis: Optional[str] = None,
+    march_normal_fn=None,
+    precomputed=None,
 ) -> jax.Array:
     """Culled differentiable render → [N, 3]. N must divide by ``tile``.
 
@@ -108,22 +110,41 @@ def render_diff_culled(
     LOCAL shard of an M-sharded table: each device selects its own top-K
     from its shard and the soft-min / softmax reductions combine shards with
     pmax/psum — culling composes with model parallelism per shard.
+
+    ``march_normal_fn`` (TPU: ops/pallas/culled_march_kernel.
+    culled_march_normals_pallas) replaces the XLA march + normal taps with
+    one fused VMEM kernel — all 47 detached field evaluations on-chip
+    instead of 40x [B, T, K] HBM round-trips. Single-device tables only
+    (the M-sharded march needs per-step pmax/psum collectives; that path
+    stays in XLA).
+
+    ``precomputed`` = (idx [B,K], valid [B,K], t [B,T,1], normal [B,T,3])
+    skips selection AND the detached march/normals entirely — the training
+    loop runs them OUTSIDE the autodiff trace (t and normals carry no
+    gradients by construction, reference renderer_diff.rs:25,41-46) and
+    this function computes only the gradient-carrying tail with tables
+    re-gathered from the live (grad-carrying) parameters at the same idx.
     """
     n = ray_org.shape[0]
     b = n // tile
     if b * tile != n:
         raise ValueError(f"N={n} not divisible by tile={tile}")
 
-    cones = tile_cones(ray_org, ray_dir, tile)
-    if clusters is not None:
-        idx, valid = select_tile_primitives_hier(
-            cones, jax.lax.stop_gradient(centers),
-            jax.lax.stop_gradient(radii), smooth_k, k_budget,
-            clusters, cluster_budget, mask=mask)
+    if precomputed is not None:
+        idx, valid, t, normal = precomputed
+        t = jax.lax.stop_gradient(t)
+        normal = jax.lax.stop_gradient(normal)
     else:
-        idx, valid = select_tile_primitives(
-            cones, jax.lax.stop_gradient(centers),
-            jax.lax.stop_gradient(radii), smooth_k, k_budget, mask=mask)
+        cones = tile_cones(ray_org, ray_dir, tile)
+        if clusters is not None:
+            idx, valid = select_tile_primitives_hier(
+                cones, jax.lax.stop_gradient(centers),
+                jax.lax.stop_gradient(radii), smooth_k, k_budget,
+                clusters, cluster_budget, mask=mask)
+        else:
+            idx, valid = select_tile_primitives(
+                cones, jax.lax.stop_gradient(centers),
+                jax.lax.stop_gradient(radii), smooth_k, k_budget, mask=mask)
     centers_t, colors_t, radii_t, c_sq_t = gather_tile_tables(
         centers, colors, radii, idx, valid)
 
@@ -136,14 +157,27 @@ def render_diff_culled(
     qs = jax.lax.stop_gradient(c_sq_t)
     ks = jax.lax.stop_gradient(smooth_k)
 
-    def body(_, t):
-        p = ro + rd * t
-        t = t + _tile_soft_min(p, cs, rs, qs, ks, model_axis=model_axis)
-        return jnp.minimum(t, T_MAX)
+    if precomputed is not None:
+        pass                                  # t, normal arrived detached
+    elif march_normal_fn is not None and model_axis is None:
+        # Fused VMEM kernel: march + reattach point + normal taps on-chip.
+        t0 = (jnp.zeros((b, tile, 1), ro.dtype) if t_init is None
+              else jax.lax.stop_gradient(t_init).reshape(b, tile, 1))
+        t, normal = march_normal_fn(
+            ro, rd, cs, rs, qs, ks, num_steps=num_steps,
+            normal_eps=normal_eps, t_init=t0)
+        t = jax.lax.stop_gradient(t)
+        normal = jax.lax.stop_gradient(normal)
+    else:
+        def body(_, t):
+            p = ro + rd * t
+            t = t + _tile_soft_min(p, cs, rs, qs, ks, model_axis=model_axis)
+            return jnp.minimum(t, T_MAX)
 
-    t0 = (jnp.zeros((b, tile, 1), ro.dtype) if t_init is None
-          else jax.lax.stop_gradient(t_init).reshape(b, tile, 1))
-    t = jax.lax.stop_gradient(jax.lax.fori_loop(0, num_steps, body, t0))
+        t0 = (jnp.zeros((b, tile, 1), ro.dtype) if t_init is None
+              else jax.lax.stop_gradient(t_init).reshape(b, tile, 1))
+        t = jax.lax.stop_gradient(jax.lax.fori_loop(0, num_steps, body, t0))
+        normal = None
 
     # --- Reattachment (renderer_diff.rs:28-38) ---
     p_approx = ro + rd * t
@@ -153,8 +187,9 @@ def render_diff_culled(
     p_final = ro + rd * t_final
 
     # --- Detached normals (renderer_diff.rs:41-46) ---
-    normal = _tile_normals(jax.lax.stop_gradient(p_final), cs, rs, qs, ks,
-                           eps=normal_eps, model_axis=model_axis)
+    if normal is None:
+        normal = _tile_normals(jax.lax.stop_gradient(p_final), cs, rs, qs,
+                               ks, eps=normal_eps, model_axis=model_axis)
 
     # --- Shading (renderer_diff.rs:48-62) ---
     ld_norm = light_dir / jnp.sqrt(jnp.sum(light_dir * light_dir))

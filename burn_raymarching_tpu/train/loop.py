@@ -114,11 +114,14 @@ class Trainer:
         self.dataset = dataset
         self.log = log
         self.march_normal_fn = None
+        self.culled_march_normal_fn = None
         if march_fn is None:
             march_fn = self._default_march()
         self.march_fn = march_fn
         self.tx = make_optimizer(cfg)
-        self.warm = bool(cfg.warm_start and self.march_normal_fn is not None)
+        kernel_for_mode = (self.culled_march_normal_fn if cfg.use_culling
+                           else self.march_normal_fn)
+        self.warm = bool(cfg.warm_start and kernel_for_mode is not None)
         self._chunk = (cfg.steps_per_call
                        if cfg.steps_per_stage % cfg.steps_per_call == 0
                        else 1)
@@ -136,8 +139,12 @@ class Trainer:
             # Fused march+normals kernel: 47 of the 49 per-step [N,M] field
             # evaluations run in one VMEM-resident pallas_call.
             from burn_raymarching_tpu.ops.pallas import march_shade_pallas
+            from burn_raymarching_tpu.ops.pallas.culled_march_kernel import (
+                culled_march_normals_pallas,
+            )
 
             self.march_normal_fn = march_shade_pallas
+            self.culled_march_normal_fn = culled_march_normals_pallas
         return march_xla
 
     def _build_step(self):
@@ -153,6 +160,7 @@ class Trainer:
         cfg = self.cfg
         march_fn = self.march_fn
         march_normal_fn = self.march_normal_fn
+        culled_march_fn = self.culled_march_normal_fn
         batch = cfg.batch_size
         warm = self.warm
         total_steps = float(cfg.total_steps)
@@ -214,7 +222,53 @@ class Trainer:
                                and not cfg.use_culling
                                and (rc.softmax_sharpness,
                                     rc.mask_sharpness) == (10.0, 15.0))
-                if warm or fused_shade:
+                culled_pre = None
+                if cfg.use_culling and culled_march_fn is not None:
+                    # Detached selection + fused culled march/normals kernel
+                    # OUTSIDE the autodiff trace (t and normals carry no
+                    # gradients by construction); the renderer re-gathers
+                    # tables from the live params at the same idx for the
+                    # gradient-carrying tail.
+                    from burn_raymarching_tpu.ops.culling import (
+                        select_tile_primitives,
+                        select_tile_primitives_hier,
+                        tile_cones,
+                    )
+
+                    centers_p, _, radii_p, _, _ = activate(
+                        jax.lax.stop_gradient(params))
+                    cones = tile_cones(ro, rd, cfg.cull_tile)
+                    if cull_clusters is not None:
+                        idx_t, valid_t = select_tile_primitives_hier(
+                            cones, centers_p, radii_p, smooth_k,
+                            cfg.cull_budget, cull_clusters,
+                            cfg.cull_cluster_budget, mask=mask)
+                    else:
+                        idx_t, valid_t = select_tile_primitives(
+                            cones, centers_p, radii_p, smooth_k,
+                            cfg.cull_budget, mask=mask)
+                    cs_t = jnp.take(centers_p, idx_t, axis=0)
+                    rs_t = jnp.take(radii_p.reshape(-1), idx_t, axis=0)
+                    qs_t = jnp.where(valid_t, jnp.sum(cs_t * cs_t, axis=2),
+                                     1e30)
+                    b_t = batch // cfg.cull_tile
+                    ro3 = ro.reshape(b_t, cfg.cull_tile, 3)
+                    rd3 = rd.reshape(b_t, cfg.cull_tile, 3)
+                    if warm:
+                        t0 = (jnp.take(t_cache, idx) * cfg.warm_backoff
+                              ).reshape(b_t, cfg.cull_tile, 1)
+                        t, normal = culled_march_fn(
+                            ro3, rd3, cs_t, rs_t, qs_t, smooth_k,
+                            num_steps=cfg.warm_steps,
+                            normal_eps=rc.normal_eps, t_init=t0)
+                        t_cache = t_cache.at[idx].set(t.reshape(-1))
+                    else:
+                        t, normal = culled_march_fn(
+                            ro3, rd3, cs_t, rs_t, qs_t, smooth_k,
+                            num_steps=rc.march_steps,
+                            normal_eps=rc.normal_eps)
+                    culled_pre = (idx_t, valid_t, t, normal)
+                elif warm or fused_shade:
                     # Detached march outside the grad path (t and normals
                     # carry no gradients by construction).
                     centers_p, _, radii_p, _, _ = activate(
@@ -247,7 +301,8 @@ class Trainer:
                             num_steps=rc.march_steps,
                             softmax_sharpness=rc.softmax_sharpness,
                             mask_sharpness=rc.mask_sharpness,
-                            normal_eps=rc.normal_eps)
+                            normal_eps=rc.normal_eps,
+                            precomputed=culled_pre)
                     elif fused_shade:
                         from burn_raymarching_tpu.ops.pallas.shade_kernel                             import shade_fused
 
@@ -440,6 +495,7 @@ class Trainer:
         cfg = self.cfg
         ds = self.dataset
         centers_p, _, radii_p, _, _ = activate(padded)
+        culled = cfg.use_culling and self.culled_march_normal_fn is not None
         chunks = []
         chunk = cfg.batch_size
         n = ds.num_total_pixels
@@ -447,10 +503,45 @@ class Trainer:
             end = min(start + chunk, n)
             ro = jax.lax.dynamic_slice_in_dim(ds.rays_o, start, end - start)
             rd = jax.lax.dynamic_slice_in_dim(ds.rays_d, start, end - start)
-            t, _ = self.march_normal_fn(ro, rd, centers_p, radii_p,
-                                        jnp.float32(smooth_k), mask=mask)
-            chunks.append(t[:, 0])
+            if culled:
+                t_flat = self._culled_cold_march(ro, rd, centers_p, radii_p,
+                                                 mask, smooth_k)
+            else:
+                t, _ = self.march_normal_fn(ro, rd, centers_p, radii_p,
+                                            jnp.float32(smooth_k), mask=mask)
+                t_flat = t[:, 0]
+            chunks.append(t_flat)
         self.t_cache = jnp.concatenate(chunks)
+
+    def _culled_cold_march(self, ro, rd, centers_p, radii_p, mask, smooth_k):
+        """Full cold march of one pixel chunk through the culled kernel
+        (flat selection — equivalent to hierarchical whenever the cluster
+        budget covers the qualifying set, and always conservative)."""
+        from burn_raymarching_tpu.ops.culling import (
+            select_tile_primitives,
+            tile_cones,
+        )
+
+        cfg = self.cfg
+        n = ro.shape[0]
+        tile = cfg.cull_tile
+        n_pad = ((n + tile - 1) // tile) * tile
+        if n_pad != n:
+            ro = jnp.concatenate([ro, jnp.repeat(ro[-1:], n_pad - n, axis=0)])
+            rd = jnp.concatenate([rd, jnp.repeat(rd[-1:], n_pad - n, axis=0)])
+        k_val = jnp.float32(smooth_k)
+        cones = tile_cones(ro, rd, tile)
+        idx_t, valid_t = select_tile_primitives(
+            cones, centers_p, radii_p, k_val, cfg.cull_budget, mask=mask)
+        cs = jnp.take(centers_p, idx_t, axis=0)
+        rs = jnp.take(radii_p.reshape(-1), idx_t, axis=0)
+        qs = jnp.where(valid_t, jnp.sum(cs * cs, axis=2), 1e30)
+        b = n_pad // tile
+        t, _ = self.culled_march_normal_fn(
+            ro.reshape(b, tile, 3), rd.reshape(b, tile, 3), cs, rs, qs,
+            k_val, num_steps=cfg.render.march_steps,
+            normal_eps=cfg.render.normal_eps)
+        return t.reshape(-1)[:n]
 
     def _unpad(self, padded: SceneParams, n: int) -> SceneParams:
         return SceneParams(
