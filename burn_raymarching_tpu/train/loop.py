@@ -115,6 +115,7 @@ class Trainer:
         self.log = log
         self.march_normal_fn = None
         self.culled_march_normal_fn = None
+        self.repulsion_fn = None
         if march_fn is None:
             march_fn = self._default_march()
         self.march_fn = march_fn
@@ -142,9 +143,13 @@ class Trainer:
             from burn_raymarching_tpu.ops.pallas.culled_march_kernel import (
                 culled_march_normals_pallas,
             )
+            from burn_raymarching_tpu.ops.pallas.repulsion_kernel import (
+                cluster_repulsion_fused,
+            )
 
             self.march_normal_fn = march_shade_pallas
             self.culled_march_normal_fn = culled_march_normals_pallas
+            self.repulsion_fn = cluster_repulsion_fused
         return march_xla
 
     def _build_step(self):
@@ -161,6 +166,7 @@ class Trainer:
         march_fn = self.march_fn
         march_normal_fn = self.march_normal_fn
         culled_march_fn = self.culled_march_normal_fn
+        repulsion_fn = self.repulsion_fn
         batch = cfg.batch_size
         warm = self.warm
         total_steps = float(cfg.total_steps)
@@ -320,7 +326,8 @@ class Trainer:
                                             normal_eps=rc.normal_eps)
                     return compute_loss(p, out, tgt, progress, mask=mask,
                                         cfg=cfg.loss,
-                                        repulsion_clusters=rep_clusters)
+                                        repulsion_clusters=rep_clusters,
+                                        repulsion_fn=repulsion_fn)
 
                 loss, grads = jax.value_and_grad(loss_fn)(params)
                 updates, opt_state = self.tx.update(grads, opt_state, params)

@@ -150,6 +150,7 @@ def compute_loss(
     cfg: LossConfig = LossConfig(),
     model_axis: Optional[str] = None,   # set inside shard_map when M is sharded
     repulsion_clusters=None,  # PrimitiveClusters → two-level repulsion
+    repulsion_fn=None,        # TPU: ops.pallas.repulsion_kernel fused VJP
 ) -> jax.Array:
     # --- 1. Weighted L1 reconstruction (training.rs:15-34) ---
     abs_diff = jnp.abs(output - target)
@@ -191,8 +192,15 @@ def compute_loss(
 
     # --- 5. Pairwise repulsion (training.rs:73-83) ---
     if repulsion_clusters is not None:
-        repulsion = cluster_repulsion(params.centers, repulsion_clusters,
-                                      mask, n_valid, model_axis=model_axis)
+        if repulsion_fn is not None and model_axis is None:
+            # Fused VMEM kernel with recompute-based custom VJP
+            # (ops/pallas/repulsion_kernel.py) — same decomposition.
+            repulsion = repulsion_fn(params.centers, repulsion_clusters,
+                                     mask, n_valid)
+        else:
+            repulsion = cluster_repulsion(params.centers, repulsion_clusters,
+                                          mask, n_valid,
+                                          model_axis=model_axis)
         return loss + repulsion * cfg.repulsion_coeff
     # With M sharded, each device holds the [M_local, M_global] row block:
     # centers (tiny) are all-gathered, the row sums psum'd.

@@ -199,6 +199,21 @@ def main():
     print(f"cluster repulsion f+b   : "
           f"{timed(scan_wrap(rep), jnp.zeros(()),):7.3f} ms")
 
+    # --- fused (Pallas) cluster repulsion fwd+bwd ---
+    from burn_raymarching_tpu.ops.pallas.repulsion_kernel import (
+        cluster_repulsion_fused,
+    )
+
+    def rep_fused(carry, i):
+        def loss_fn(c):
+            return cluster_repulsion_fused(c, cl, mask, n_valid)
+
+        l, g = jax.value_and_grad(loss_fn)(centers_p + carry * 0.0)
+        return carry + l * 0.0 + g[0, 0]
+
+    print(f"cluster repulsion fused : "
+          f"{timed(scan_wrap(rep_fused), jnp.zeros(()),):7.3f} ms")
+
     # --- t-cache scatter ---
     tc = jnp.zeros((ds.num_total_pixels,), jnp.float32)
 
