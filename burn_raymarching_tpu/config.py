@@ -41,6 +41,13 @@ class LossConfig:
     proximity_bound: float = 1.2       # camera-proximity barrier radius (training.rs:62)
     proximity_coeff: float = 5.0       # (training.rs:70)
     repulsion_coeff: float = 1e-5      # pairwise repulsion (training.rs:82)
+    # Far-field treatment of the two-level (cluster_repulsion) term:
+    #   "member"   — every member interacts with every far-cluster centroid
+    #                ([M, C] pairs; grad cosine ~0.993 vs the exact sum);
+    #   "monopole" — centroid↔centroid only ([C, C] pairs, ~G× fewer —
+    #                measured ~0.7 ms/step cheaper at M=51k — grad cosine
+    #                ~0.978). The exact near field is identical in both.
+    repulsion_far_field: str = "member"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -99,7 +99,7 @@ def _weights_and_denoms(d2, extra):
 
 
 def _rep_fwd_kernel(cs_ref, nbcs_ref, cents_ref, w_ref, nbw_ref, mi_ref,
-                    nbm_ref, fw_ref, out_ref):
+                    nbm_ref, fw_ref, out_ref, *, include_far):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -115,20 +115,23 @@ def _rep_fwd_kernel(cs_ref, nbcs_ref, cents_ref, w_ref, nbw_ref, mi_ref,
                  nbm_ref[:][:, None, :]).astype(jnp.float32)
     _, _, denom = _weights_and_denoms(d2, self_pair * 100.0)
     cw = w[:, :, None] * nbw_ref[:][:, None, :]
-    s_near = jnp.sum(cw / denom)
+    s = jnp.sum(cw / denom)
 
-    # --- far field ---
-    _, _, _, d2f = _far_d2(cs, cents_ref[:])
-    _, _, denom_f = _weights_and_denoms(d2f, 0.0)
-    fw = w[:, :, None] * fw_ref[:][:, None, :]                # [Bc, G, C]
-    s_far = jnp.sum(fw / denom_f)
+    # --- far field (member→centroid; skipped under far_field="monopole",
+    # where the tiny [C, C] term lives in plain XLA outside the kernel) ---
+    if include_far:
+        _, _, _, d2f = _far_d2(cs, cents_ref[:])
+        _, _, denom_f = _weights_and_denoms(d2f, 0.0)
+        fw = w[:, :, None] * fw_ref[:][:, None, :]            # [Bc, G, C]
+        s = s + jnp.sum(fw / denom_f)
 
     # Full-block store — Mosaic cannot store scalars to VMEM.
-    out_ref[:] = out_ref[:] + (s_near + s_far)
+    out_ref[:] = out_ref[:] + s
 
 
 def _rep_bwd_kernel(cs_ref, nbcs_ref, cents_ref, w_ref, nbw_ref, mi_ref,
-                    nbm_ref, fw_ref, g_ref, dcs_ref, dnbcs_ref, dcents_ref):
+                    nbm_ref, fw_ref, g_ref, dcs_ref, dnbcs_ref, dcents_ref,
+                    *, include_far):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -154,6 +157,9 @@ def _rep_bwd_kernel(cs_ref, nbcs_ref, cents_ref, w_ref, nbw_ref, mi_ref,
                                jnp.sum(cdz, axis=1)])         # [3, Bc, WG]
 
     # --- far field (recompute) ---
+    if not include_far:
+        dcs_ref[:] = d_cs_near
+        return
     dxf, dyf, dzf, d2f = _far_d2(cs, cents_ref[:])
     live_f, dist_f, denom_f = _weights_and_denoms(d2f, 0.0)
     fw = w[:, :, None] * fw_ref[:][:, None, :]
@@ -183,20 +189,21 @@ def _specs(bc, g, wg, c_all):
     ]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
-def _rep_call(cs, nb_cs, cents, w, nb_w, mi, nbm, fw, block_c, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _rep_call(cs, nb_cs, cents, w, nb_w, mi, nbm, fw, block_c, interpret,
+              include_far=True):
     out, _ = _rep_call_fwd(cs, nb_cs, cents, w, nb_w, mi, nbm, fw, block_c,
-                           interpret)
+                           interpret, include_far)
     return out
 
 
 def _rep_call_fwd(cs, nb_cs, cents, w, nb_w, mi, nbm, fw, block_c,
-                  interpret):
+                  interpret, include_far=True):
     c_count, g = cs.shape[1], cs.shape[2]
     wg = nb_cs.shape[2]
     c_all = cents.shape[2]
     out = pl.pallas_call(
-        _rep_fwd_kernel,
+        functools.partial(_rep_fwd_kernel, include_far=include_far),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         grid_spec=pl.GridSpec(
             grid=(c_count // block_c,),
@@ -211,14 +218,14 @@ def _rep_call_fwd(cs, nb_cs, cents, w, nb_w, mi, nbm, fw, block_c,
     return out[0, 0], (cs, nb_cs, cents, w, nb_w, mi, nbm, fw)
 
 
-def _rep_call_bwd(block_c, interpret, res, gbar):
+def _rep_call_bwd(block_c, interpret, include_far, res, gbar):
     cs, nb_cs, cents, w, nb_w, mi, nbm, fw = res
     c_count, g = cs.shape[1], cs.shape[2]
     wg = nb_cs.shape[2]
     c_all = cents.shape[2]
     g_arr = jnp.asarray(gbar, jnp.float32).reshape(1, 1)
     d_cs, d_nbcs, d_cents = pl.pallas_call(
-        _rep_bwd_kernel,
+        functools.partial(_rep_bwd_kernel, include_far=include_far),
         out_shape=(
             jax.ShapeDtypeStruct((3, c_count, g), jnp.float32),
             jax.ShapeDtypeStruct((3, c_count, wg), jnp.float32),
@@ -259,12 +266,18 @@ def cluster_repulsion_fused(
     near_clusters: int = 8,
     block_c: int = 8,
     interpret: bool = False,
+    far_field: str = "member",
 ) -> jax.Array:
     """Drop-in TPU replacement for train/loss.cluster_repulsion (same
     near/far decomposition, same epsilons and +100 self-pair offset); the
     heavy [C,G,W·G] + [M,C] field evaluations run in VMEM with a
     recompute-based custom VJP. Verified against the XLA version in
     tests/test_repulsion_kernel.py.
+
+    far_field="monopole" drops the member→centroid far field from the
+    kernel and adds the centroid↔centroid monopole sum ([C, C], tiny) in
+    plain XLA instead — ~G× fewer far pairs, one more approximation order
+    (see train/loss.cluster_repulsion).
 
     The prep below intentionally mirrors train/loss.cluster_repulsion
     line-for-line so gradients through the member gather, the centroid
@@ -292,9 +305,9 @@ def cluster_repulsion_fused(
                                                           w_near * g)
     nb_cs = jnp.take(cs, nb, axis=0).reshape(c_count, w_near * g, 3)
     nb_w = jnp.take(w, nb, axis=0).reshape(c_count, w_near * g)
-    far_w = ((1.0 - jnp.sum(
-        jax.nn.one_hot(nb, c_count, dtype=centers.dtype), axis=1))
-        * counts[None, :])                                    # [C, C_all]
+    near_hot = jnp.sum(jax.nn.one_hot(nb, c_count, dtype=centers.dtype),
+                       axis=1)                                # [C, C]
+    far_w = (1.0 - near_hot) * counts[None, :]                # [C, C_all]
 
     # Pad: neighbor columns to a lane multiple (zero weight), cluster rows
     # to the block size (zero weight rows contribute exactly nothing), the
@@ -326,6 +339,14 @@ def cluster_repulsion_fused(
     nbm_p = pad2(nb_members.astype(jnp.int32), c_pad, wg_pad, value=-2)
     fw_p = pad2(far_w, c_pad, c_all_pad)
 
+    include_far = far_field != "monopole"
     s = _rep_call(cs_p, nbcs_p, cents_p, w_p, nbw_p, mi_p, nbm_p, fw_p,
-                  bc, interpret)
+                  bc, interpret, include_far)
+    if not include_far:
+        # Monopole far field in plain XLA — [C, C] is a few hundred KB even
+        # at M=51k, and reverse AD through it routes centroid gradients back
+        # through the same differentiable prep as the member mode.
+        dist_cc = jnp.sqrt(jnp.maximum(cd2, 1e-6))
+        inv_cc = 1.0 / (dist_cc + 1e-6)
+        s = s + jnp.sum(far_w * counts[:, None] * inv_cc)
     return s / (n_valid * n_valid)

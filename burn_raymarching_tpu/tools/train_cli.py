@@ -46,6 +46,11 @@ def build_config(args) -> "TrainConfig":
         overrides["cull_cluster_budget"] = args.cull_hier
     if args.cluster_repulsion:
         overrides["cluster_repulsion"] = True
+    if args.rep_far_field:
+        from burn_raymarching_tpu.config import LossConfig
+
+        overrides["loss"] = LossConfig(
+            repulsion_far_field=args.rep_far_field)
     if args.wd_mode:
         overrides["weight_decay_mode"] = args.wd_mode
     if args.smooth_k:
@@ -133,6 +138,12 @@ def main(argv=None):
                              "(exact near clusters + centroid far field) — "
                              "required at M ≳ 20k where the exact O(M²) "
                              "pairwise term dominates the step")
+    parser.add_argument("--rep-far-field", dest="rep_far_field", default="",
+                        choices=["", "member", "monopole"],
+                        help="far-field order of --cluster-repulsion: "
+                             "member (default, member→centroid) or monopole "
+                             "(centroid↔centroid — ~0.7 ms/step cheaper at "
+                             "M=51k, one more approximation order)")
     parser.add_argument("--polish", type=int, default=0, metavar="R",
                         help="after the final stage (for --best-of: on the "
                              "winning seed), run R extra last-stage rounds "

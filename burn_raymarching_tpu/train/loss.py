@@ -57,11 +57,18 @@ def cluster_repulsion(
     n_valid,
     near_clusters: int = 8,
     model_axis: Optional[str] = None,
+    far_field: str = "member",
 ) -> jax.Array:
     """Barnes-Hut-style approximation of the pairwise repulsion mean for
     large M: exact 1/(d+100·I+1e-6) over pairs whose clusters are among the
     ``near_clusters`` nearest (by centroid, own cluster included), centroid
     monopoles (count/dist) for the far field.
+
+    ``far_field`` picks the far approximation order: "member" evaluates every
+    member against every far centroid ([M, C] pairs), "monopole" collapses
+    both sides to centroids ([C, C] pairs, counts_i·counts_j/dist — ~G× fewer
+    far pairs at one more approximation order; grad cosine vs the exact sum
+    ~0.978 instead of ~0.993 on uniform 51k-primitive clouds).
 
     O(M·W·G + M·C) instead of O(M²) — the exact [M, M] matrix is 10.5 GB of
     f32 at M=51200 and dominates the whole train step. The repulsion
@@ -122,18 +129,33 @@ def cluster_repulsion(
         counts_all = jax.lax.all_gather(counts, model_axis).reshape(-1)
         col_offset = jax.lax.axis_index(model_axis) * c_count
     c_all_count = cents_all.shape[0]
-    flat_c = cs.reshape(c_count * g, 3)
-    flat_w = w.reshape(c_count * g)
-    diff = flat_c[:, None, :] - cents_all[None, :, :]        # [M_l, C_all, 3]
-    dist_f = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=2), 1e-6))
-    inv_f = 1.0 / (dist_f + 1e-6)
     near_hot = jnp.sum(
         jax.nn.one_hot(nb + col_offset, c_all_count, dtype=centers.dtype),
         axis=1)                                              # [C, C_all]
-    far_w = (1.0 - near_hot)[:, None, :] * counts_all[None, None, :]
-    far_w = jnp.broadcast_to(far_w, (c_count, g, c_all_count)).reshape(
-        c_count * g, c_all_count)
-    s_far = jnp.sum(inv_f * flat_w[:, None] * far_w)
+    if far_field == "monopole":
+        # Centroid↔centroid monopoles: counts_i·counts_j / dist(cent_i,
+        # cent_j) for every non-near pair. Empty clusters contribute zero
+        # weight on both sides; the local [C, C] distances are the top-k
+        # input reused (inf on empty columns → inv 0 → exact zero term).
+        if model_axis is None:
+            ccd2 = cd2
+        else:
+            ccd2 = jnp.sum(
+                (centroids[:, None, :] - cents_all[None, :, :]) ** 2, axis=2)
+        dist_cc = jnp.sqrt(jnp.maximum(ccd2, 1e-6))          # [C, C_all]
+        inv_cc = 1.0 / (dist_cc + 1e-6)
+        s_far = jnp.sum((1.0 - near_hot) * counts[:, None]
+                        * counts_all[None, :] * inv_cc)
+    else:
+        flat_c = cs.reshape(c_count * g, 3)
+        flat_w = w.reshape(c_count * g)
+        diff = flat_c[:, None, :] - cents_all[None, :, :]    # [M_l, C_all, 3]
+        dist_f = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=2), 1e-6))
+        inv_f = 1.0 / (dist_f + 1e-6)
+        far_w = (1.0 - near_hot)[:, None, :] * counts_all[None, None, :]
+        far_w = jnp.broadcast_to(far_w, (c_count, g, c_all_count)).reshape(
+            c_count * g, c_all_count)
+        s_far = jnp.sum(inv_f * flat_w[:, None] * far_w)
 
     s = s_near + s_far
     if model_axis is not None:
@@ -196,11 +218,13 @@ def compute_loss(
             # Fused VMEM kernel with recompute-based custom VJP
             # (ops/pallas/repulsion_kernel.py) — same decomposition.
             repulsion = repulsion_fn(params.centers, repulsion_clusters,
-                                     mask, n_valid)
+                                     mask, n_valid,
+                                     far_field=cfg.repulsion_far_field)
         else:
             repulsion = cluster_repulsion(params.centers, repulsion_clusters,
                                           mask, n_valid,
-                                          model_axis=model_axis)
+                                          model_axis=model_axis,
+                                          far_field=cfg.repulsion_far_field)
         return loss + repulsion * cfg.repulsion_coeff
     # With M sharded, each device holds the [M_local, M_global] row block:
     # centers (tiny) are all-gathered, the row sums psum'd.

@@ -128,11 +128,14 @@ def main():
     ap.add_argument("--no-hier", dest="hier", action="store_false")
     ap.add_argument("--warm-steps", type=int, default=16)
     ap.add_argument("--variants", default="xla,kernel,warm")
+    ap.add_argument("--rep-far-field", dest="rep_far", default="member",
+                    choices=["member", "monopole"])
     args = ap.parse_args()
 
-    from burn_raymarching_tpu.config import TrainConfig
+    from burn_raymarching_tpu.config import LossConfig, TrainConfig
 
     cfg = TrainConfig(
+        loss=LossConfig(repulsion_far_field=args.rep_far),
         batch_size=args.batch, use_culling=True, cull_budget=args.budget,
         cull_tile=args.tile, cull_hierarchical=args.hier,
         cull_cluster_group=64, cull_cluster_budget=32,

@@ -86,15 +86,17 @@ def main():
           f"{timed(scan_wrap(xla_fb), jnp.zeros(())):7.3f} ms")
 
     for bc in (8, 16, 32):
-        fn = functools.partial(rk.cluster_repulsion_fused, block_c=bc)
+        for ff in ("member", "monopole"):
+            fn = functools.partial(rk.cluster_repulsion_fused, block_c=bc,
+                                   far_field=ff)
 
-        def fb(carry, i, fn=fn):
-            l, g = jax.value_and_grad(
-                lambda c: fn(c, cl, mask, n_valid))(centers + carry * 0.0)
-            return carry + l * 0.0 + g[0, 0]
+            def fb(carry, i, fn=fn):
+                l, g = jax.value_and_grad(
+                    lambda c: fn(c, cl, mask, n_valid))(centers + carry * 0.0)
+                return carry + l * 0.0 + g[0, 0]
 
-        print(f"fused fwd+bwd bc={bc:<3}   : "
-              f"{timed(scan_wrap(fb), jnp.zeros(())):7.3f} ms")
+            print(f"fused f+b bc={bc:<3} {ff:<8}: "
+                  f"{timed(scan_wrap(fb), jnp.zeros(())):7.3f} ms")
 
     def fwd_only(carry, i):
         return carry + rk.cluster_repulsion_fused(
@@ -166,7 +168,7 @@ def main():
                  bc_eff=bc_eff):
             def f(a):
                 return rk._rep_call(a, nbcs_p, cents_p, w_p, nbw_p, mi_p,
-                                    nbm_p, fw_p, bc_eff, False)
+                                    nbm_p, fw_p, bc_eff, False, True)
 
             l, gr = jax.value_and_grad(f)(cs_p + carry * 0.0)
             return carry + l * 0.0 + gr[0, 0, 0]

@@ -80,6 +80,39 @@ def test_no_mask_and_ragged_c():
     np.testing.assert_allclose(got, ref, rtol=1e-5)
 
 
+@pytest.mark.parametrize("m,group", [(64, 8), (200, 8)])
+def test_monopole_value_matches_xla(m, group):
+    """far_field="monopole": fused (near kernel + XLA [C,C] monopoles)
+    equals the XLA monopole path, value and gradient."""
+    centers, mask, cl, n_valid = make_cloud(m, seed=m + 1, group=group)
+    ref, g_ref = jax.value_and_grad(
+        lambda c: cluster_repulsion(c, cl, mask, n_valid,
+                                    far_field="monopole"))(centers)
+    got, g_pl = jax.value_and_grad(
+        lambda c: fused(c, cl, mask, n_valid,
+                        far_field="monopole"))(centers)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5 * float(
+                                   jnp.max(jnp.abs(g_ref))))
+
+
+def test_monopole_approximates_member():
+    """The monopole far field is a coarser approximation of the same sum:
+    values within ~2% and gradients strongly aligned with member mode."""
+    centers, mask, cl, n_valid = make_cloud(256, seed=42, group=8)
+    v_mem, g_mem = jax.value_and_grad(
+        lambda c: cluster_repulsion(c, cl, mask, n_valid))(centers)
+    v_mono, g_mono = jax.value_and_grad(
+        lambda c: cluster_repulsion(c, cl, mask, n_valid,
+                                    far_field="monopole"))(centers)
+    np.testing.assert_allclose(float(v_mono), float(v_mem), rtol=2e-2)
+    a = np.asarray(g_mem).ravel()
+    b = np.asarray(g_mono).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.95, cos
+
+
 def test_compute_loss_routes_fused():
     """compute_loss(repulsion_fn=...) equals the XLA route end-to-end."""
     from burn_raymarching_tpu.models.scene import init_scene_params, pad_params

@@ -266,6 +266,21 @@ def test_msharded_cluster_repulsion_matches_local(scene):
     np.testing.assert_allclose(got, want, rtol=0.1)
     assert np.isfinite(got)
 
+    # Monopole far field under sharding: same structure, coarser far term.
+    def fn_mono(c_l, mask_l):
+        cl = PrimitiveClusters(
+            jnp.arange(2, dtype=jnp.int32).reshape(-1, g),
+            jnp.ones((1, g), bool))
+        return cluster_repulsion(c_l, cl, mask_l, jnp.float32(7.0),
+                                 near_clusters=2, model_axis="model",
+                                 far_field="monopole")
+
+    got_mono = float(jax.shard_map(
+        fn_mono, mesh=mesh, in_specs=(P("model", None), P("model")),
+        out_specs=P(), check_vma=False)(centers, mask))
+    np.testing.assert_allclose(got_mono, want, rtol=0.15)
+    assert np.isfinite(got_mono)
+
 
 def test_sharded_culled_cluster_repulsion_step_runs_finite(scene):
     params, ro, rd = scene
