@@ -20,7 +20,7 @@ def build_config(args) -> "TrainConfig":
 
     overrides = {}
     for field in ("batch_size", "width", "height", "stages", "steps_per_stage",
-                  "base_lr", "seed", "init_n", "init_layout"):
+                  "base_lr", "seed", "init_n", "init_layout", "init_points"):
         v = getattr(args, field, None)
         if v is not None:
             overrides[field] = v
@@ -89,6 +89,11 @@ def main(argv=None):
                         choices=["reference", "cloud"],
                         help="cloud: uniform random small-sphere init for "
                              "large --init-n (configs 4-5)")
+    parser.add_argument("--init-points", dest="init_points", default=None,
+                        help="geometry prior for --init-layout cloud: JSON "
+                             "{\"points\": [x,y,z,...]} (COLMAP sparse points "
+                             "via colmap_to_json --points-out, or the "
+                             "generator's points.json)")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--no-pallas", action="store_true")
     parser.add_argument("--turbo", action="store_true",
