@@ -162,6 +162,40 @@ def test_cloud_init_with_point_prior():
     np.testing.assert_allclose(phys, 0.03, atol=1e-4)
 
 
+def test_train_cli_config_flags(tmp_path):
+    """CLI flags map onto TrainConfig — the large-scene recipe's flags and
+    the repulsion far-field knob in particular."""
+    import argparse
+
+    from burn_raymarching_tpu.tools.train_cli import build_config
+
+    args = argparse.Namespace(
+        batch_size=2048, width=None, height=None, stages=None,
+        steps_per_stage=None, base_lr=None, seed=None,
+        init_n=512, init_layout="cloud",
+        init_points=str(tmp_path / "pts.json"),
+        cameras="", scene_out="", steps_dir="",
+        checkpoint_dir=None, no_pallas=False, turbo=True,
+        cull=64, cull_hier=0, cluster_repulsion=True,
+        rep_far_field="monopole", wd_mode="decoupled",
+        smooth_k=128.0, sharp="40,60",
+        lr_scales="0.001,1,0.1,0.5")
+    cfg = build_config(args)
+    assert cfg.batch_size == 2048
+    assert cfg.init_n == 512 and cfg.init_layout == "cloud"
+    assert cfg.init_points == str(tmp_path / "pts.json")
+    assert cfg.use_culling and cfg.cull_budget == 64
+    assert cfg.dataset_order == "morton"
+    assert cfg.cluster_repulsion
+    assert cfg.loss.repulsion_far_field == "monopole"
+    assert cfg.weight_decay_mode == "decoupled"
+    assert cfg.min_smooth_k == cfg.max_smooth_k == 128.0
+    assert cfg.render.softmax_sharpness == 40.0
+    assert cfg.render.mask_sharpness == 60.0
+    assert cfg.lr_scale_centers == 0.001 and cfg.lr_scale_radii == 0.1
+    assert cfg.warm_start and cfg.use_fused_shade
+
+
 def test_colmap_points3d_parse(tmp_path):
     from burn_raymarching_tpu.tools.colmap_to_json import parse_points3d_txt
 
