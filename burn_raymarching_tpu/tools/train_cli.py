@@ -37,6 +37,8 @@ def build_config(args) -> "TrainConfig":
     if args.turbo:
         overrides["warm_start"] = True
         overrides["use_fused_shade"] = True
+    if args.warm_steps:
+        overrides["warm_steps"] = args.warm_steps
     if args.cull:
         overrides["use_culling"] = True
         overrides["cull_budget"] = args.cull
@@ -100,6 +102,11 @@ def main(argv=None):
                         help="warm-started march + fused custom-VJP shade "
                              "kernel (validated at reference quality; "
                              "fastest TPU configuration)")
+    parser.add_argument("--warm-steps", dest="warm_steps", type=int,
+                        default=0,
+                        help="march steps per warm-started (--turbo) step "
+                             "(default 16 — measured load-bearing: 8 costs "
+                             "2.2 dB on the bundled scene)")
     parser.add_argument("--cull", type=int, default=0, metavar="K",
                         help="coherent-tile culling with a top-K primitive "
                              "budget (for large scenes; implies Morton "

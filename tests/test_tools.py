@@ -175,7 +175,7 @@ def test_train_cli_config_flags(tmp_path):
         init_n=512, init_layout="cloud",
         init_points=str(tmp_path / "pts.json"),
         cameras="", scene_out="", steps_dir="",
-        checkpoint_dir=None, no_pallas=False, turbo=True,
+        checkpoint_dir=None, no_pallas=False, turbo=True, warm_steps=0,
         cull=64, cull_hier=0, cluster_repulsion=True,
         rep_far_field="monopole", wd_mode="decoupled",
         smooth_k=128.0, sharp="40,60",
