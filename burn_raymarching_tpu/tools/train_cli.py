@@ -210,7 +210,8 @@ def main(argv=None):
             march_fn=trainer.march_fn,
             march_normal_fn=trainer.march_normal_fn,
             softmax_sharpness=cfg.render.softmax_sharpness,
-            mask_sharpness=cfg.render.mask_sharpness)
+            mask_sharpness=cfg.render.mask_sharpness,
+            cull=trainer._cull_render())
         print(f"    seed {run_cfg.seed}: PSNR mean {res['mean']:.2f}")
         if best is None or res["mean"] > best[0]:
             best = (res["mean"], padded, mask, run_cfg.seed, trainer)
@@ -227,7 +228,8 @@ def main(argv=None):
             march_fn=trainer.march_fn,
             march_normal_fn=trainer.march_normal_fn,
             softmax_sharpness=cfg.render.softmax_sharpness,
-            mask_sharpness=cfg.render.mask_sharpness)
+            mask_sharpness=cfg.render.mask_sharpness,
+            cull=trainer._cull_render())
         print(f"    polished: PSNR mean {res['mean']:.2f}")
         psnr = res["mean"]
     export_scene_json(padded, cfg.scene_json, mask=np.asarray(mask))

@@ -42,9 +42,13 @@ def evaluate_views(
     chunk: int = 4096,
     softmax_sharpness: float = 10.0,
     mask_sharpness: float = 15.0,
+    cull=None,
+    clusters=None,
 ) -> dict:
     """Render every camera with the training forward model and compare.
 
+    ``cull`` (render.preview.CullRender) routes rendering through the
+    per-tile top-K path — required for tolerable eval times at M ≳ 10k.
     Returns {"per_view": [psnr...], "mean": float, "min": float}.
     """
     per_view = []
@@ -55,7 +59,8 @@ def evaluate_views(
                            chunk=chunk, march_fn=march_fn,
                            march_normal_fn=march_normal_fn,
                            softmax_sharpness=softmax_sharpness,
-                           mask_sharpness=mask_sharpness)
+                           mask_sharpness=mask_sharpness,
+                           cull=cull, clusters=clusters)
         per_view.append(psnr_u8(encode_u8(img), encode_u8(np.asarray(tgt))))
     return {
         "per_view": per_view,

@@ -467,7 +467,8 @@ class Trainer:
                 march_fn=self.march_fn,
                 march_normal_fn=self.march_normal_fn,
                 softmax_sharpness=cfg.render.softmax_sharpness,
-                mask_sharpness=cfg.render.mask_sharpness)["mean"]
+                mask_sharpness=cfg.render.mask_sharpness,
+                cull=self._cull_render())["mean"]
 
         best_psnr = psnr(padded, mask)
         self.log(f"Polish baseline: PSNR {best_psnr:.2f}")
@@ -559,6 +560,20 @@ class Trainer:
             ambient=padded.ambient,
         )
 
+    def _cull_render(self):
+        """CullRender options mirroring the training-step culling, or None.
+
+        Inference-side culling keeps large-M previews/polish evals tractable
+        (the dense [chunk, M] march is minutes per 512² view at M≈50k).
+        Flat selection (no cluster table) — always conservative."""
+        cfg = self.cfg
+        if not cfg.use_culling:
+            return None
+        from burn_raymarching_tpu.render.preview import CullRender
+
+        return CullRender(tile=cfg.cull_tile, k_budget=cfg.cull_budget,
+                          march_normal_fn=self.culled_march_normal_fn)
+
     def save_preview(self, padded, mask, path: str):
         cfg = self.cfg
         ro, rd = create_camera_rays(
@@ -569,7 +584,8 @@ class Trainer:
                            march_fn=self.march_fn,
                            march_normal_fn=self.march_normal_fn,
                            softmax_sharpness=cfg.render.softmax_sharpness,
-                           mask_sharpness=cfg.render.mask_sharpness)
+                           mask_sharpness=cfg.render.mask_sharpness,
+                           cull=self._cull_render())
         save_array_as_image(img, cfg.width, cfg.height, path)
         self.log(f"Saved image to {path}")
 

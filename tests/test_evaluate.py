@@ -24,3 +24,34 @@ def test_encode_matches_save_pipeline():
     want = (np.clip(x, 0, 1) ** (1 / 2.2) * 255).astype(np.uint8)
     np.testing.assert_array_equal(got, want)
     assert got[1, 0] == 0 and got[1, 1] == 255
+
+
+def test_render_tiled_matches_unchunked_and_culled():
+    """render_tiled == direct scene_forward (incl. a padded tail chunk);
+    the culled route matches dense when the budget covers every primitive."""
+    import jax.numpy as jnp
+
+    from burn_raymarching_tpu.data.camera import create_camera_rays
+    from burn_raymarching_tpu.models.scene import (
+        init_scene_params,
+        pad_params,
+        scene_forward,
+    )
+    from burn_raymarching_tpu.render.preview import CullRender, render_tiled
+
+    params = init_scene_params(7)
+    padded, mask = pad_params(params, 8)
+    ro, rd = create_camera_rays(24, 24, [0.0, 0.5, -2.5], [0, 0, 0], 50.0)
+
+    want = np.asarray(scene_forward(padded, ro, rd, jnp.float32(32.0),
+                                    mask=mask))
+    got = render_tiled(padded, ro, rd, smooth_k=32.0, mask=mask, chunk=256)
+    assert got.shape == want.shape                 # 576 rays -> padded tail
+    # Batch-size-dependent fp reassociation through the 40-step march puts
+    # worst-case pixel deltas at ~2e-5; anything beyond would be a bug.
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    got_culled = render_tiled(padded, ro, rd, smooth_k=32.0, mask=mask,
+                              chunk=256,
+                              cull=CullRender(tile=16, k_budget=8))
+    np.testing.assert_allclose(got_culled, want, atol=2e-4)
