@@ -54,6 +54,29 @@ def activate(params: SceneParams):
     )
 
 
+def raw_from_physical(centers, colors, radii, light_dir=(0.0, 1.0, 0.0),
+                      ambient: float = 0.2) -> SceneParams:
+    """Physical → raw re-encode, the inverse of :func:`activate`.
+
+    Used to inject known scenes (the GT generator's spheres, a scene.json)
+    into the trainable parameterization — e.g. the representational-ceiling
+    and "hold the reference's optimum" controls in docs/PARITY.md. Mirrors
+    the reference's own softplus⁻¹ re-encode at split time
+    (src/training.rs:203-204); colors are clipped away from {0,1} so the
+    logit stays finite.
+    """
+    colors = jnp.clip(jnp.asarray(colors, jnp.float32), 1e-6, 1.0 - 1e-6)
+    radii = jnp.asarray(radii, jnp.float32)
+    return SceneParams(
+        centers=jnp.asarray(centers, jnp.float32),
+        colors=jnp.log(colors) - jnp.log1p(-colors),
+        radii=jnp.log(jnp.expm1(jnp.maximum(radii - 0.01, 1e-4))),
+        light_dir=jnp.asarray(light_dir, jnp.float32),
+        ambient=jnp.log(jnp.asarray([ambient], jnp.float32))
+        - jnp.log1p(-jnp.asarray([ambient], jnp.float32)),
+    )
+
+
 def scene_forward(
     params: SceneParams,
     ray_org: jax.Array,

@@ -1,0 +1,165 @@
+"""BASELINE config 5 at its stated shape, data side, on one chip.
+
+Config 5 is "COLMAP-style 100-view capture, ~50k primitives, multi-host
+N>=2 pod slice with sharded primitives". The multi-host axis needs a real
+pod (validated on virtual meshes by tests/test_sharding.py and
+__graft_entry__.dryrun_multichip); this script runs everything else at the
+stated shape on the one available chip: a 100-view 256^2 procedural capture
+(6.55M training pixels), 51,200 prior-seeded spheres, the large-scene
+recipe (decoupled decay, per-group LRs, k=128 / sharp 40,60, hierarchical
+culling, cluster repulsion, turbo warm-start), 1x1000 steps.
+
+Prints ceiling / init / trained PSNR (the same three-row methodology as the
+config-4 run in docs/SCALING.md) plus wall-clock and step rate.
+
+Usage:
+  env JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_comp_cache_tpu \
+      PYTHONPATH=/root/repo:/root/.axon_site \
+      python scripts/run_c5.py [--steps 1000] [--init-n 51200] [--out runs/c5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/jax_comp_cache_tpu")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", default="runs/c5")
+    p.add_argument("--views", type=int, default=100)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--gt-n", dest="gt_n", type=int, default=2000)
+    p.add_argument("--init-n", dest="init_n", type=int, default=51200)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch", type=int, default=16384)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--far-field", dest="far_field", default="member",
+                   choices=["member", "monopole"])
+    p.add_argument("--skip-ceiling", action="store_true")
+    args = p.parse_args(argv)
+
+    data_dir = os.path.join(args.out, "data")
+    os.makedirs(args.out, exist_ok=True)
+
+    from burn_raymarching_tpu.tools import generate
+
+    if not os.path.exists(os.path.join(data_dir, "cameras.json")):
+        print(f"--- generating {args.views}-view {args.size}px dataset ---")
+        generate.main(["--out", data_dir, "--size", str(args.size),
+                       "--scene", "knot", "--knot-n", str(args.gt_n),
+                       "--views", str(args.views),
+                       "--gt-k", "128", "--gt-sharp", "40"])
+
+    from burn_raymarching_tpu.config import (
+        LossConfig,
+        RenderConfig,
+        TrainConfig,
+    )
+    from burn_raymarching_tpu.data.image_io import load_image_as_array
+    from burn_raymarching_tpu.data.scene_io import load_cameras
+    from burn_raymarching_tpu.models.scene import (
+        init_scene_params_cloud,
+        pad_params,
+        raw_from_physical,
+    )
+    from burn_raymarching_tpu.train.evaluate import evaluate_views
+    from burn_raymarching_tpu.train.loop import Trainer, build_dataset
+    from burn_raymarching_tpu.utils.padding import bucket_size
+
+    cfg = TrainConfig(
+        batch_size=args.batch,
+        width=args.size, height=args.size,
+        stages=1, steps_per_stage=args.steps,
+        base_lr=0.02, seed=args.seed,
+        init_n=args.init_n, init_layout="cloud",
+        init_points=os.path.join(data_dir, "points.json"),
+        warm_start=True, use_fused_shade=True,
+        use_culling=True, cull_budget=256, dataset_order="morton",
+        cull_hierarchical=True, cull_cluster_budget=32,
+        cluster_repulsion=True,
+        weight_decay_mode="decoupled",
+        min_smooth_k=128.0, max_smooth_k=128.0,
+        lr_scale_centers=0.001, lr_scale_colors=1.0,
+        lr_scale_radii=0.1, lr_scale_light=0.5,
+        render=RenderConfig(softmax_sharpness=40.0, mask_sharpness=60.0),
+        loss=LossConfig(repulsion_far_field=args.far_field),
+        cameras_json=os.path.join(data_dir, "cameras.json"),
+        scene_json=os.path.join(args.out, "scene_c5.json"),
+        steps_dir=os.path.join(args.out, "steps"),
+    )
+
+    cams = load_cameras(cfg.cameras_json)
+    tgts = [load_image_as_array(c["file"]) for c in cams]
+    dataset = build_dataset(cfg)
+    print(f"Total training pixels: {dataset.num_total_pixels} "
+          f"(fg {dataset.num_fg})")
+    trainer = Trainer(cfg, dataset)
+
+    def psnr(padded, mask, cull):
+        return evaluate_views(
+            padded, cams, tgts, cfg.width, cfg.height, mask=mask,
+            smooth_k=cfg.max_smooth_k,
+            march_fn=trainer.march_fn,
+            march_normal_fn=trainer.march_normal_fn,
+            softmax_sharpness=cfg.render.softmax_sharpness,
+            mask_sharpness=cfg.render.mask_sharpness,
+            cull=cull)["mean"]
+
+    results = {}
+
+    if not args.skip_ceiling:
+        # GT through the trainable forward = the representational ceiling.
+        # GT light/ambient mirror the generator's fixed values
+        # (render/gt.py, reference renderer.rs:27,40).
+        c, col, r = generate.knot_scene(args.gt_n)
+        gt = raw_from_physical(c, col, r, light_dir=(-0.5, 0.5, -1.0),
+                               ambient=0.1)
+        gt_pad, gt_mask = pad_params(gt, bucket_size(args.gt_n))
+        t0 = time.perf_counter()
+        results["ceiling"] = psnr(gt_pad, gt_mask, cull=None)
+        print(f"ceiling (GT through trainable forward): "
+              f"{results['ceiling']:.2f} dB "
+              f"[{time.perf_counter() - t0:.0f}s]")
+
+    import numpy as np
+
+    pts = np.asarray(json.load(open(cfg.init_points))["points"],
+                     np.float32).reshape(-1, 3)
+    init = init_scene_params_cloud(
+        cfg.init_n, seed=cfg.seed, extent=cfg.init_cloud_extent,
+        radius=cfg.init_cloud_radius, ambient_logit=cfg.init_ambient_logit,
+        points=pts, jitter=cfg.init_points_jitter)
+    init_pad, init_mask = pad_params(init, bucket_size(cfg.init_n))
+    t0 = time.perf_counter()
+    results["init"] = psnr(init_pad, init_mask, trainer._cull_render())
+    print(f"prior-seeded init: {results['init']:.2f} dB "
+          f"[{time.perf_counter() - t0:.0f}s]")
+
+    t0 = time.perf_counter()
+    padded, mask = trainer.run()
+    results["train_wall_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    results["trained"] = psnr(padded, mask, trainer._cull_render())
+    print(f"trained ({args.steps} steps, far_field={args.far_field}): "
+          f"{results['trained']:.2f} dB  "
+          f"[train {results['train_wall_s']}s, "
+          f"eval {time.perf_counter() - t0:.0f}s]")
+
+    results.update(views=args.views, size=args.size, init_n=args.init_n,
+                   steps=args.steps, far_field=args.far_field,
+                   seed=args.seed)
+    with open(os.path.join(args.out, "results.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
