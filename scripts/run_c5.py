@@ -44,9 +44,27 @@ def main(argv=None):
     p.add_argument("--far-field", dest="far_field", default="member",
                    choices=["member", "monopole"])
     p.add_argument("--skip-ceiling", action="store_true")
+    p.add_argument("--data", default=None,
+                   help="reuse an existing dataset dir instead of generating")
+    p.add_argument("--no-repulsion", action="store_true")
+    p.add_argument("--jitter", type=float, default=0.02)
+    p.add_argument("--lr-centers", dest="lr_centers", type=float,
+                   default=0.001)
+    p.add_argument("--prior", default="points", choices=["points", "dense"],
+                   help="'points': the dataset's 2k-point cloud (sparse-SfM "
+                   "analog); 'dense': resample the GT curve at init_n "
+                   "(dense-SfM analog)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (JAX_PLATFORMS env is "
+                   "unreliable under the axon site hook)")
     args = p.parse_args(argv)
 
-    data_dir = os.path.join(args.out, "data")
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    data_dir = args.data or os.path.join(args.out, "data")
     os.makedirs(args.out, exist_ok=True)
 
     from burn_raymarching_tpu.tools import generate
@@ -74,20 +92,34 @@ def main(argv=None):
     from burn_raymarching_tpu.train.loop import Trainer, build_dataset
     from burn_raymarching_tpu.utils.padding import bucket_size
 
+    init_points_path = os.path.join(data_dir, "points.json")
+    if args.prior == "dense":
+        # Dense-SfM analog: resample the same GT curve at init_n points so
+        # primitives seed along the tube instead of stacking ~25-deep on the
+        # 2k sparse points. A real capture gets this from dense COLMAP.
+        import numpy as np
+
+        dense_c, _, _ = generate.knot_scene(args.init_n)
+        init_points_path = os.path.join(args.out, "points_dense.json")
+        with open(init_points_path, "w") as f:
+            json.dump({"points": np.asarray(dense_c).reshape(-1).tolist()},
+                      f)
+
     cfg = TrainConfig(
         batch_size=args.batch,
         width=args.size, height=args.size,
         stages=1, steps_per_stage=args.steps,
         base_lr=0.02, seed=args.seed,
         init_n=args.init_n, init_layout="cloud",
-        init_points=os.path.join(data_dir, "points.json"),
+        init_points=init_points_path,
         warm_start=True, use_fused_shade=True,
         use_culling=True, cull_budget=256, dataset_order="morton",
         cull_hierarchical=True, cull_cluster_budget=32,
-        cluster_repulsion=True,
+        cluster_repulsion=not args.no_repulsion,
+        init_points_jitter=args.jitter,
         weight_decay_mode="decoupled",
         min_smooth_k=128.0, max_smooth_k=128.0,
-        lr_scale_centers=0.001, lr_scale_colors=1.0,
+        lr_scale_centers=args.lr_centers, lr_scale_colors=1.0,
         lr_scale_radii=0.1, lr_scale_light=0.5,
         render=RenderConfig(softmax_sharpness=40.0, mask_sharpness=60.0),
         loss=LossConfig(repulsion_far_field=args.far_field),
@@ -155,7 +187,9 @@ def main(argv=None):
 
     results.update(views=args.views, size=args.size, init_n=args.init_n,
                    steps=args.steps, far_field=args.far_field,
-                   seed=args.seed)
+                   seed=args.seed, repulsion=not args.no_repulsion,
+                   jitter=args.jitter, lr_centers=args.lr_centers,
+                   prior=args.prior)
     with open(os.path.join(args.out, "results.json"), "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
