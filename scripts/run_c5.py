@@ -145,7 +145,9 @@ def main(argv=None):
             mask_sharpness=cfg.render.mask_sharpness,
             cull=cull)["mean"]
 
-    results = {}
+    # Fixed result schema: every run emits the same keys (ceiling stays
+    # null when --skip-ceiling) so downstream comparisons never KeyError.
+    results = {"ceiling": None}
 
     if not args.skip_ceiling:
         # GT through the trainable forward = the representational ceiling.
