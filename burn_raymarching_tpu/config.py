@@ -159,6 +159,15 @@ class TrainConfig:
     # cluster table as cull_hierarchical.
     cluster_repulsion: bool = False
     dataset_order: str = "raster"    # "raster" | "morton"
+    # Batch construction: "pixel" = the reference's i.i.d. pixel sampler
+    # (dataset.rs:47-82). "tile" = sample whole cull_tile-sized Morton
+    # blocks (fg-boosted at tile granularity, batch/cull_tile tiles per
+    # step). i.i.d. pixels SORTED across a many-view dataset put rays from
+    # several cameras into one cull tile — the tile cone degenerates and
+    # top-K selection is arbitrary among all M (the round-1 config-5
+    # flatline). Block sampling gives training the same compact single-view
+    # tiles rendering uses; requires use_culling + dataset_order="morton".
+    sample_mode: str = "pixel"
 
     render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)

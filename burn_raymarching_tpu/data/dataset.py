@@ -69,6 +69,7 @@ class RayDataset:
     """
 
     def __init__(self, rays_o, rays_d, targets, fg_threshold: float = 0.05):
+        self.fg_threshold = fg_threshold
         self.rays_o = jnp.asarray(rays_o)
         self.rays_d = jnp.asarray(rays_d)
         self.targets = jnp.asarray(targets)
@@ -91,6 +92,26 @@ class RayDataset:
             batch_size, jnp.asarray(uniform_ratio),
         )
         return gather_batch(self.packed, idx)
+
+    def tile_fg(self, tile: int):
+        """Tile-granular fg split for block sampling: a tile is foreground
+        if ANY of its pixels is (same brightness rule as compute_fg_indices).
+        Returns (fg_tile_indices padded to n_tiles [int32], n_fg_tiles).
+
+        Requires the dataset to be Morton-ordered (dataset_order="morton")
+        so each run of ``tile`` consecutive pixels is a compact pixel block
+        of one view — the coherence contract of ops/culling.
+        """
+        if self.num_total_pixels % tile:
+            raise ValueError(f"pixels ({self.num_total_pixels}) must divide "
+                             f"by tile ({tile})")
+        px = np.asarray(self.targets).reshape(-1, 3).sum(axis=1)
+        any_fg = (px > self.fg_threshold).reshape(-1, tile).any(axis=1)
+        fg = np.nonzero(any_fg)[0].astype(np.int32)
+        n_tiles = any_fg.shape[0]
+        padded = np.zeros((n_tiles,), np.int32)
+        padded[: fg.shape[0]] = fg
+        return jnp.asarray(padded), int(fg.shape[0])
 
 
 def gather_batch(packed: jax.Array, idx: jax.Array):

@@ -6,7 +6,7 @@ gradient flows through the 40 iterations — gradients re-enter via one extra
 SDF evaluation at the converged point. That lets us run the march under
 ``stop_gradient`` as a ``lax.fori_loop`` (compile-friendly, no unrolled graph)
 and, on TPU, swap in a fused Pallas kernel that keeps the whole 40-iteration
-loop in VMEM (see ops/pallas/march_kernel.py).
+loop in VMEM (see ops/pallas/march_shade_kernel.py).
 """
 
 from __future__ import annotations

@@ -1,2 +1,1 @@
-from burn_raymarching_tpu.ops.pallas.march_kernel import march_pallas  # noqa: F401
 from burn_raymarching_tpu.ops.pallas.march_shade_kernel import march_shade_pallas  # noqa: F401

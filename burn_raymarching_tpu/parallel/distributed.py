@@ -12,15 +12,23 @@ Topology model:
     XLA routes the collective;
   * per-primitive parameter gradients are tiny (M×7 floats), so the
     all-reduce is latency-bound — DP scaling efficiency is limited only by
-    per-step launch overhead;
-  * dataset rays/targets are replicated per host (hundreds of MB at most);
-    each device samples its own sub-batch by folding its axis index into
-    the PRNG key — no data exchange on the sample path;
+    per-step launch overhead, which the scan-chunked step amortizes to
+    one dispatch per cfg.steps_per_call steps;
+  * the DATASET is sharded over the data axis: each device owns a
+    contiguous pixel shard (plus its fg index set and its slice of the
+    warm-start t cache) and samples its sub-batch from it by folding its
+    axis index into the PRNG key — no data exchange on the sample path.
+    Shards are equal-sized, so the mean of shard means is the global batch
+    mean; the fg boost applies per shard (statistically equivalent — the
+    reference's sampling is host-RNG anyway, SURVEY §7 "RNG parity policy");
   * host 0 alone writes previews / scene.json / checkpoints (``is_host0``).
 
-Use DistributedTrainer for the full multi-stage schedule on a mesh; it
-reuses the same anneals / density control / export as the single-chip
-Trainer.
+DistributedTrainer IS the single-chip Trainer (a subclass): the same
+multi-stage schedule, warm-start cache, tile culling, density control,
+stage checkpoints/resume, previews, scene.json export, and greedy polish —
+run_stage simply dispatches the shared per-step body
+(train/step_body.make_device_step) through shard_map instead of calling it
+directly. There is no reduced second driver.
 
 KNOWN LIMITATION of the virtual CPU mesh (xla_force_host_platform_
 device_count): XLA:CPU's collective rendezvous nondeterministically crashes
@@ -38,21 +46,17 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from burn_raymarching_tpu.config import TrainConfig
-from burn_raymarching_tpu.data.dataset import RayDataset
-from burn_raymarching_tpu.models.scene import SceneParams, init_scene_params, pad_params
+from burn_raymarching_tpu.data.dataset import RayDataset, compute_fg_indices
+from burn_raymarching_tpu.models.scene import SceneParams, activate
 from burn_raymarching_tpu.parallel.mesh import make_mesh
 from burn_raymarching_tpu.parallel.train_step import (
-    make_sharded_train_step,
-    shard_params,
+    make_sharded_chunk_runner,
+    param_specs,
 )
-from burn_raymarching_tpu.train.density import prune_and_split
-from burn_raymarching_tpu.train.optimizer import (
-    anneal_for_step,
-    lr_for_step,
-    make_optimizer,
-)
+from burn_raymarching_tpu.train.loop import Trainer
 from burn_raymarching_tpu.utils.padding import bucket_size
 
 
@@ -77,40 +81,148 @@ def is_host0() -> bool:
     return jax.process_index() == 0
 
 
-class DistributedTrainer:
-    """Multi-stage training over a (data, model) mesh.
+class ShardedRayDataset:
+    """A RayDataset laid out for a (data, model) mesh.
 
-    Mirrors Trainer's schedule (stages, anneals, density control, export)
-    with the shard_map step from parallel/train_step.py. The primitive
-    bucket is padded to a multiple of the model-axis size.
+    Pixels (packed rays+targets) are sharded contiguously over the data
+    axis; each shard gets its OWN fg index set in shard-local coordinates
+    (padded to the local pixel count, like compute_fg_indices) so every
+    device runs the reference's fg-boosted sampler (dataset.rs:47-82) over
+    its local pixels. Total pixel count must divide the data axis — pad the
+    capture (or pick a mesh) accordingly; every real config does
+    (views × H × W is highly composite).
+    """
+
+    def __init__(self, ds: RayDataset, mesh, fg_threshold: float = 0.05):
+        n_data = mesh.shape["data"]
+        p_total = ds.num_total_pixels
+        if p_total % n_data:
+            raise ValueError(
+                f"total pixels ({p_total}) must divide the data axis "
+                f"({n_data})")
+        self.base = ds
+        self.mesh = mesh
+        self.n_data = n_data
+        self.fg_threshold = fg_threshold
+        self.num_total_pixels = p_total
+        self.p_local = p_total // n_data
+        self.num_fg = ds.num_fg
+        self.num_bg = ds.num_bg
+
+        tgt = np.asarray(ds.targets)
+        fgi = np.zeros((n_data, self.p_local), np.int32)
+        nfg = np.zeros((n_data,), np.int32)
+        for d in range(n_data):
+            block = tgt[d * self.p_local:(d + 1) * self.p_local]
+            fgi[d], nfg[d] = compute_fg_indices(block, fg_threshold)
+        self.packed = jax.device_put(
+            ds.packed, NamedSharding(mesh, P("data", None)))
+        self.fg_indices = jax.device_put(
+            jnp.asarray(fgi), NamedSharding(mesh, P("data", None)))
+        self.n_fg = jax.device_put(
+            jnp.asarray(nfg), NamedSharding(mesh, P("data")))
+        self.rays_o = jax.device_put(
+            ds.rays_o, NamedSharding(mesh, P("data", None)))
+        self.rays_d = jax.device_put(
+            ds.rays_d, NamedSharding(mesh, P("data", None)))
+        self.targets = ds.targets
+
+    def tile_fg(self, tile: int):
+        """Per-shard tile-granular fg split (RayDataset.tile_fg semantics):
+        ([n_data, tiles_local] local tile ids, [n_data] counts)."""
+        if self.p_local % tile:
+            raise ValueError(f"local pixels ({self.p_local}) must divide "
+                             f"by tile ({tile})")
+        t_loc = self.p_local // tile
+        px = np.asarray(self.base.targets).reshape(-1, 3).sum(axis=1)
+        any_fg = (px > self.fg_threshold).reshape(-1, tile).any(axis=1)
+        fgt = np.zeros((self.n_data, t_loc), np.int32)
+        nft = np.zeros((self.n_data,), np.int32)
+        for d in range(self.n_data):
+            ids = np.nonzero(any_fg[d * t_loc:(d + 1) * t_loc])[0]
+            fgt[d, : ids.size] = ids.astype(np.int32)
+            nft[d] = ids.size
+        return (jax.device_put(jnp.asarray(fgt),
+                               NamedSharding(self.mesh, P("data", None))),
+                jax.device_put(jnp.asarray(nft),
+                               NamedSharding(self.mesh, P("data"))))
+
+
+class DistributedTrainer(Trainer):
+    """The Trainer, over a (data, model) mesh.
+
+    Everything non-step (stages, anneals, density control, warm prefill,
+    checkpoints/resume, previews, export, polish) is inherited; the step is
+    the shared body under shard_map (parallel/train_step.
+    make_sharded_chunk_runner), and file I/O runs on host 0 only.
     """
 
     def __init__(self, cfg: TrainConfig, dataset: RayDataset,
                  data: Optional[int] = None, model: int = 1,
                  log: Callable[[str], None] = print):
-        self.cfg = cfg
-        self.dataset = dataset
         self.mesh = make_mesh(data=data, model=model)
-        self.model = model
-        self.log = log if is_host0() else (lambda s: None)
-        self.tx = make_optimizer(cfg)
-        self._step = make_sharded_train_step(cfg, self.mesh, self.tx)
+        self.model = self.mesh.shape["model"]
+        self.n_data = self.mesh.shape["data"]
+        sharded = ShardedRayDataset(dataset, self.mesh,
+                                    fg_threshold=cfg.fg_pixel_threshold)
+        super().__init__(cfg, sharded,
+                         log=log if is_host0() else (lambda s: None))
+        self._io = is_host0()
+
+    # --- step construction -------------------------------------------- #
+
+    def _build_step(self):
+        return make_sharded_chunk_runner(
+            self.cfg, self.mesh, self.tx, self._chunk,
+            march_fn=self.march_fn,
+            march_normal_fn=self.march_normal_fn,
+            culled_march_fn=self.culled_march_normal_fn,
+            warm=self.warm)
+
+    def _warm_gate(self) -> bool:
+        # Dense warm-start needs the single-device fused kernel; the culled
+        # path warms everywhere (XLA twin under model sharding / CPU).
+        return bool(self.cfg.warm_start and self.cfg.use_culling)
+
+    # --- layout hooks --------------------------------------------------- #
 
     def _bucket(self, n: int) -> int:
+        """Bucket must split into even model shards; cluster features
+        additionally need whole G-groups per shard so every cluster's
+        members live in exactly one shard."""
+        cfg = self.cfg
         b = bucket_size(n)
-        # model-axis sharding needs even primitive shards; cluster repulsion
-        # additionally needs whole G-groups per shard.
-        quantum = self.model * (self.cfg.cull_cluster_group
-                                if self.cfg.cluster_repulsion else 1)
+        quantum = self.model
+        if ((cfg.use_culling and cfg.cull_hierarchical)
+                or cfg.cluster_repulsion):
+            quantum *= cfg.cull_cluster_group
         while b % quantum:
             b *= 2
         return b
 
-    def _morton_sort(self, params: SceneParams) -> SceneParams:
-        """Z-order the live primitive rows (a scene is a set — pure
-        reordering) so the sharded step's implicit cluster structure
-        (consecutive G-row groups, whole clusters per shard) is spatially
-        coherent."""
+    def _place(self, padded: SceneParams, mask: jax.Array):
+        specs = param_specs(self.model > 1)
+        padded = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+            padded, specs)
+        mask = jax.device_put(
+            mask, NamedSharding(
+                self.mesh, P("model") if self.model > 1 else P(None)))
+        return padded, mask
+
+    def _init_t_cache(self) -> jax.Array:
+        return jax.device_put(
+            jnp.zeros((self.dataset.num_total_pixels,), jnp.float32),
+            NamedSharding(self.mesh, P("data")))
+
+    def _prepare_stage_params(self, params: SceneParams) -> SceneParams:
+        """Morton-sort the live rows at stage start (a scene is a set —
+        pure reordering) so consecutive G-groups (= the step's cluster
+        table) and the contiguous model shards are spatially coherent."""
+        cfg = self.cfg
+        if not (((cfg.use_culling and cfg.cull_hierarchical)
+                 or cfg.cluster_repulsion) or self.model > 1):
+            return params
         from burn_raymarching_tpu.ops.culling import morton_order
 
         order = morton_order(np.asarray(params.centers))
@@ -122,53 +234,99 @@ class DistributedTrainer:
             ambient=params.ambient,
         )
 
-    def run(self) -> tuple[SceneParams, jax.Array]:
+    def _build_cluster_table(self, padded: SceneParams, mask: jax.Array):
+        """Implicit consecutive-G grouping in GLOBAL row ids.
+
+        Rows are Morton-sorted with the pad at the end
+        (_prepare_stage_params + pad_params), so arange grouping equals
+        build_clusters' output while keeping whole clusters inside each
+        model shard (bucket quantum model*G); the step body converts to
+        shard-local ids."""
         cfg = self.cfg
-        key = jax.random.PRNGKey(cfg.seed)
-        rng = np.random.default_rng(cfg.seed)
-        params = init_scene_params(cfg.init_n, cfg.init_offset,
-                                   cfg.init_ambient_logit)
+        if not ((cfg.use_culling and cfg.cull_hierarchical)
+                or cfg.cluster_repulsion):
+            return jnp.zeros((0, 0), jnp.int32), jnp.zeros((0, 0), bool)
+        g = cfg.cull_cluster_group
+        m_pad = padded.centers.shape[0]
+        cl_idx = jnp.arange(m_pad, dtype=jnp.int32).reshape(-1, g)
+        cl_valid = jnp.asarray(mask, bool).reshape(-1, g)
+        spec = P("model", None) if self.model > 1 else P(None, None)
+        cl_idx = jax.device_put(cl_idx, NamedSharding(self.mesh, spec))
+        cl_valid = jax.device_put(cl_valid, NamedSharding(self.mesh, spec))
+        return cl_idx, cl_valid
+
+    # --- warm prefill ----------------------------------------------------- #
+
+    def prefill_t_cache(self, padded, mask, smooth_k):
+        """Cold march of every pixel, each device over its own shard.
+
+        One shard_map call: flat per-shard top-K selection + the culled
+        march (fused kernel when a single device owns its tables, XLA twin
+        with pmax/psum under model sharding), lax.map-chunked so the
+        per-device working set stays at one batch of tiles."""
+        from functools import partial
+
+        from burn_raymarching_tpu.ops.culling import (
+            select_tile_primitives,
+            tile_cones,
+        )
+        from burn_raymarching_tpu.render.culled import (
+            culled_march_normals_xla,
+        )
+
+        cfg = self.cfg
         ds = self.dataset
-        self.log("🚀 Start Multi-Stage Optimization "
-                 f"(mesh {dict(self.mesh.shape)})...")
-        padded, mask = pad_params(params, self._bucket(params.n))
-        for stage in range(cfg.stages):
-            self.log(f"=== Stage {stage + 1}/{cfg.stages} (N = {params.n}) ===")
-            if cfg.cluster_repulsion:
-                params = self._morton_sort(params)
-            stage_init_centers = np.asarray(params.centers)
-            padded, mask = pad_params(params, self._bucket(params.n))
-            p_sh = shard_params(padded, self.mesh, self.model > 1)
-            opt_state = self.tx.init(p_sh)
-            for step in range(1, cfg.steps_per_stage + 1):
-                key, sub = jax.random.split(key)
-                progress, smooth_k, uniform_ratio = anneal_for_step(
-                    cfg, stage, step)
-                lr = lr_for_step(cfg, stage, step)
-                p_sh, opt_state, loss = self._step(
-                    p_sh, opt_state, sub, mask,
-                    ds.rays_o, ds.rays_d, ds.targets, ds.fg_indices, ds.n_fg,
-                    jnp.float32(progress), jnp.float32(smooth_k),
-                    jnp.float32(uniform_ratio), jnp.float32(lr),
-                )
-                if step % 100 == 0:
-                    self.log(f"  Step {step} | Loss: {float(loss):.5f} | "
-                             f"k: {smooth_k:.1f}")
-            padded = jax.device_get(p_sh)
-            if stage == cfg.stages - 1:
-                break
-            n = params.n
-            centers, colors, radii, stats = prune_and_split(
-                np.asarray(padded.centers)[:n],
-                np.asarray(padded.colors)[:n],
-                np.asarray(padded.radii)[:n],
-                stage_init_centers, stage, cfg.stages, rng, cfg.density,
-            )
-            params = SceneParams(
-                centers=jnp.asarray(centers), colors=jnp.asarray(colors),
-                radii=jnp.asarray(radii),
-                light_dir=jnp.asarray(np.asarray(padded.light_dir)),
-                ambient=jnp.asarray(np.asarray(padded.ambient)),
-            )
-            self.log(f"  => Pruning & Splitting complete. Next N = {params.n}")
-        return padded, mask
+        model_axis = "model" if self.model > 1 else None
+        kern = (self.culled_march_normal_fn
+                if model_axis is None
+                and self.culled_march_normal_fn is not None
+                else partial(culled_march_normals_xla, model_axis=model_axis))
+        tile = cfg.cull_tile
+        k_val = jnp.float32(smooth_k)
+        centers_p, _, radii_p, _, _ = activate(padded)
+        p_loc = ds.p_local
+        # Tiles per lax.map slice: one training batch's worth.
+        group = max(1, min(cfg.batch_size, p_loc) // tile)
+        quantum = tile * group
+        n_pad = ((p_loc + quantum - 1) // quantum) * quantum
+
+        def dev(centers_p, radii_p, mask, ro, rd):
+            if n_pad != p_loc:
+                ro = jnp.concatenate(
+                    [ro, jnp.repeat(ro[-1:], n_pad - p_loc, axis=0)])
+                rd = jnp.concatenate(
+                    [rd, jnp.repeat(rd[-1:], n_pad - p_loc, axis=0)])
+            cones = tile_cones(ro, rd, tile)
+            idx_t, valid_t = select_tile_primitives(
+                cones, centers_p, radii_p, k_val, cfg.cull_budget, mask=mask)
+            cs = jnp.take(centers_p, idx_t, axis=0)
+            rs = jnp.take(radii_p.reshape(-1), idx_t, axis=0)
+            qs = jnp.where(valid_t, jnp.sum(cs * cs, axis=2), 1e30)
+            b = n_pad // tile
+
+            def one(args):
+                ro3, rd3, cs3, rs3, qs3 = args
+                t, _ = kern(ro3, rd3, cs3, rs3, qs3, k_val,
+                            num_steps=cfg.render.march_steps,
+                            normal_eps=cfg.render.normal_eps)
+                return t
+
+            t = jax.lax.map(one, (
+                ro.reshape(b // group, group, tile, 3),
+                rd.reshape(b // group, group, tile, 3),
+                cs.reshape(b // group, group, *cs.shape[1:]),
+                rs.reshape(b // group, group, *rs.shape[1:]),
+                qs.reshape(b // group, group, *qs.shape[1:]),
+            ))
+            return t.reshape(-1)[:p_loc]
+
+        pspec2 = P("model", None) if self.model > 1 else P(None, None)
+        mspec = P("model") if self.model > 1 else P(None)
+        sharded = jax.shard_map(
+            dev, mesh=self.mesh,
+            in_specs=(pspec2, pspec2, mspec, P("data", None),
+                      P("data", None)),
+            out_specs=P("data"),
+            check_vma=False)
+        self.t_cache = jax.jit(sharded)(centers_p, radii_p, mask,
+                                        ds.rays_o, ds.rays_d)

@@ -169,6 +169,109 @@ def make_sharded_train_step(
     return step
 
 
+def make_sharded_chunk_runner(
+    cfg: TrainConfig,
+    mesh: Mesh,
+    tx,
+    chunk: int,
+    *,
+    march_fn=None,
+    march_normal_fn=None,
+    culled_march_fn=None,
+    warm: bool = False,
+):
+    """Scan-chunked sharded step with the SAME signature as the single-chip
+    Trainer's ``_step_fn`` — ``chunk`` full training steps (sample → forward
+    → loss → grads → Adam) per device program.
+
+    This is the driver-parity twin of train/loop.Trainer._build_step: the
+    identical per-step body (train/step_body.make_device_step — warm-start
+    cache, tile culling, fused kernels where a single device owns its
+    tables, in-graph anneals) runs under shard_map over the (data, model)
+    mesh, the optimizer update runs outside shard_map (elementwise over
+    already-sharded leaves — XLA keeps it local), and lax.scan chains the
+    steps so a 100-step chunk costs one dispatch. Expected layouts:
+
+      params/opt_state  — model-sharded rows (or replicated when model=1)
+      mask              — P("model")
+      packed [P, 9]     — P("data", None): each device owns a pixel shard
+      fg_indices [D, Pl] / n_fg [D] — per-shard fg index sets (LOCAL ids)
+      t_cache [P]       — P("data"), rides with the pixel shard
+      cl_idx/cl_valid   — GLOBAL row ids, P("model", None): whole clusters
+                          per shard (bucket quantum = model * G)
+    """
+    if march_fn is None:
+        from burn_raymarching_tpu.ops.march import march_xla
+
+        march_fn = march_xla
+    from burn_raymarching_tpu.train.step_body import (
+        lr_scale_tree,
+        make_device_step,
+    )
+
+    n_data = mesh.shape["data"]
+    n_model = mesh.shape["model"]
+    model_sharded = n_model > 1
+    model_axis = "model" if model_sharded else None
+    batch_local = cfg.batch_size // n_data
+    if batch_local * n_data != cfg.batch_size:
+        raise ValueError("batch_size must divide the data axis")
+
+    device_step = make_device_step(
+        cfg, march_fn=march_fn, march_normal_fn=march_normal_fn,
+        culled_march_fn=culled_march_fn,
+        # The fused repulsion kernel assumes it owns the whole cluster
+        # table; the sharded loss uses the XLA cluster_repulsion (exact
+        # same decomposition, psum'd).
+        repulsion_fn=None,
+        batch=batch_local, warm=warm,
+        data_axis="data", model_axis=model_axis,
+        # A 1-wide data axis samples exactly like the single-chip driver
+        # (no key fold) — the driver-equivalence tests rely on it.
+        fold_data_index=n_data > 1)
+
+    pspec = param_specs(model_sharded)
+    mask_spec = P("model") if model_sharded else P(None)
+    cl_spec = P("model", None) if model_sharded else P(None, None)
+
+    def dev(params, key, i, stage, step0, mask, packed, fgi, nfg, t_cache,
+            cl_idx, cl_valid):
+        # [1, P_local] / [1] leading data-shard dims → local views.
+        return device_step(params, key, i, stage, step0, mask, packed,
+                           fgi[0], nfg[0], t_cache, cl_idx, cl_valid)
+
+    sharded_step = jax.shard_map(
+        dev,
+        mesh=mesh,
+        in_specs=(pspec, P(), P(), P(), P(), mask_spec, P("data", None),
+                  P("data", None), P("data"), P("data"), cl_spec, cl_spec),
+        # loss/lr are pmean'd / identically derived → replicated.
+        out_specs=(P(), pspec, P("data"), P()),
+        check_vma=False,
+    )
+    lr_scales = lr_scale_tree(cfg)
+
+    @jax.jit
+    def run_chunk(params, opt_state, key, mask, packed, fgi, nfg, t_cache,
+                  stage, step0, cl_idx, cl_valid):
+        def one_step(carry, i):
+            params, opt_state, t_cache = carry
+            k = jax.random.fold_in(key, i)
+            loss, grads, t_cache, lr = sharded_step(
+                params, k, i, stage, step0, mask, packed, fgi, nfg,
+                t_cache, cl_idx, cl_valid)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u, s: p - lr * s * u, params,
+                                  updates, lr_scales)
+            return (params, opt_state, t_cache), loss
+
+        (params, opt_state, t_cache), losses = jax.lax.scan(
+            one_step, (params, opt_state, t_cache), jnp.arange(chunk))
+        return params, opt_state, t_cache, losses
+
+    return run_chunk
+
+
 def shard_params(params: SceneParams, mesh: Mesh, model_sharded: bool):
     """Place a params pytree onto the mesh with the step's expected layout."""
     specs = param_specs(model_sharded)

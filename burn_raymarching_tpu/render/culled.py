@@ -76,6 +76,48 @@ def _tile_normals(p, centers_t, radii_t, c_sq_t, k, eps=1e-4,
     return normal / length
 
 
+def culled_march_normals_xla(
+    ro: jax.Array,            # [B, T, 3]
+    rd: jax.Array,            # [B, T, 3]
+    cs: jax.Array,            # [B, K, 3] detached tile centers
+    rs: jax.Array,            # [B, K] detached tile radii
+    qs: jax.Array,            # [B, K] ||c||^2 (1e30 in invalid slots)
+    smooth_k: jax.Array | float,
+    num_steps: int = 40,
+    normal_eps: float = 1e-4,
+    t_init: Optional[jax.Array] = None,
+    model_axis: Optional[str] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """XLA twin of ops/pallas/culled_march_kernel.culled_march_normals_pallas:
+    detached march + 6-tap normals over per-tile top-K tables → (t [B,T,1],
+    normal [B,T,3]).
+
+    Exists for the paths the fused kernel cannot serve: M-sharded tables
+    (the march needs the GLOBAL field every iteration — pmax/psum soft-min
+    per step, a collective the kernel cannot issue) and non-TPU backends
+    (virtual CPU meshes in tests / dryrun_multichip). Same truncated-graph
+    semantics (reference renderer_diff.rs:22-26, scene.rs:81-128); inputs
+    are assumed detached by the caller.
+    """
+    ks = jax.lax.stop_gradient(smooth_k)
+
+    def body(_, t):
+        p = ro + rd * t
+        t = t + _tile_soft_min(p, cs, rs, qs, ks, model_axis=model_axis)
+        return jnp.minimum(t, T_MAX)
+
+    t0 = (jnp.zeros(ro.shape[:2] + (1,), ro.dtype) if t_init is None
+          else jax.lax.stop_gradient(t_init).reshape(ro.shape[:2] + (1,)))
+    t = jax.lax.stop_gradient(jax.lax.fori_loop(0, num_steps, body, t0))
+    # Normal point: one reattachment-style extra evaluation, all detached
+    # (renderer_diff.rs:28-46) — the final p the renderer shades at.
+    p_final = ro + rd * (t + _tile_soft_min(ro + rd * t, cs, rs, qs, ks,
+                                            model_axis=model_axis))
+    normal = _tile_normals(jax.lax.stop_gradient(p_final), cs, rs, qs, ks,
+                           eps=normal_eps, model_axis=model_axis)
+    return t, jax.lax.stop_gradient(normal)
+
+
 def render_diff_culled(
     ray_org: jax.Array,      # [N, 3] tile-coherent order
     ray_dir: jax.Array,

@@ -85,8 +85,19 @@ def render_tiled(
     mask_sharpness: float = 15.0,
     cull: Optional[CullRender] = None,
     clusters=None,
+    order_wh: Optional[tuple[int, int]] = None,
 ) -> np.ndarray:
-    """Render [P, 3] rays in fixed-size chunks → np.float32 [P, 3]."""
+    """Render [P, 3] rays in fixed-size chunks → np.float32 [P, 3].
+
+    ``order_wh=(width, height)``: the rays are one raster-ordered view of
+    that size — render them Morton-permuted (inverse-permuted back on
+    return). Raster chunks are full-width strips whose tile cones span the
+    whole scene, so culled rendering with a K budget silently drops most of
+    a large scene's qualifying primitives (measured: the 51k-primitive
+    config-5 init scored 21.5 dB raster vs 27+ dB with compact tiles —
+    round-1's "flat" config-5 evals were largely this artifact). Only
+    meaningful with ``cull``; the dense path is order-free.
+    """
     from burn_raymarching_tpu.ops.march import march_xla
 
     if march_fn is None:
@@ -94,6 +105,17 @@ def render_tiled(
     if cull is not None and chunk % cull.tile != 0:
         raise ValueError(f"chunk ({chunk}) must divide by cull.tile "
                          f"({cull.tile})")
+    inv = None
+    if order_wh is not None and cull is not None:
+        from burn_raymarching_tpu.utils.morton import morton_permutation
+
+        w, h = order_wh
+        if w * h != rays_o.shape[0]:
+            raise ValueError(f"order_wh {order_wh} != {rays_o.shape[0]} rays")
+        perm = morton_permutation(w, h)
+        inv = np.argsort(perm)
+        rays_o = np.asarray(rays_o)[perm]
+        rays_d = np.asarray(rays_d)[perm]
     n = rays_o.shape[0]
     sk = jnp.asarray(smooth_k, dtype=jnp.float32)
     k = (n + chunk - 1) // chunk
@@ -115,4 +137,5 @@ def render_tiled(
                           softmax_sharpness=softmax_sharpness,
                           mask_sharpness=mask_sharpness,
                           cull=cull, clusters=clusters)
-    return np.asarray(out).reshape(k * chunk, 3)[:n]
+    img = np.asarray(out).reshape(k * chunk, 3)[:n]
+    return img[inv] if inv is not None else img

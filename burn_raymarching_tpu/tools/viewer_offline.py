@@ -11,9 +11,12 @@ native viewer still opens our exports.
 Two shading models:
   --model train  — the differentiable renderer's forward (softmax composite,
                    sigmoid coverage): what training optimized.
-  --model viewer — the reference viewer's shading (shader.wgsl:89-128):
-                   hard hit test (march with epsilon/t_max), exp-weight
-                   colors normalized by sum, black background.
+  --model viewer — the reference viewer's shading, WGSL-exact
+                   (shader.wgsl:43-128): hard hit test (march with
+                   epsilon/t_max), TETRAHEDRAL 4-tap normals, exp-weight
+                   colors normalized by sum, black background. Golden-pinned
+                   on the reference's committed scene.json
+                   (tests/test_viewer_shader.py).
 
 Usage:
   python -m burn_raymarching_tpu.tools.viewer_offline scene.json
@@ -59,24 +62,38 @@ def render_pose(scene, eye, target, size, model="viewer", fov=50.0,
 
 
 def _viewer_shade(ro, rd, centers, colors, radii, light_dir, ambient):
-    """The viewer shader's forward model (shader.wgsl:89-128): 100-step
-    march with hit epsilon 0.001 and t_max 20, tetrahedral-free lighting via
-    our 6-tap normals, exp(-10d)/sum color mixing, black on miss."""
+    """The viewer shader's forward model, WGSL-exact (shader.wgsl:43-128):
+
+      * map(): pairwise smin_exp fold at k=32 (:43-61) ≡ one LogSumExp over
+        all spheres — computed max-subtracted here (identical math; the
+        shader's raw exp sum underflows past d ≈ 2.7 to d=+inf, which only
+        fast-forwards rays that have already missed — final pixels agree);
+        direct length(p−c)−r distances, NO training-path epsilons;
+      * 100-step march, hit ε = 0.001, t_max = 20 (:102-108);
+      * TETRAHEDRAL 4-tap normals, eps 0.001, plain normalize (:63-72) —
+        not the training renderer's 6-tap central differences;
+      * calc_color: exp(−10·d) weights normalized by (sum + 1e-5) (:74-86);
+      * ambient + diffuse·(1−ambient) blend (:117-124), black miss (:111).
+    """
     import jax
     import jax.numpy as jnp
 
-    from burn_raymarching_tpu.ops.sdf import (
-        pairwise_sphere_dists,
-        scene_normal,
-        scene_sdf,
-    )
-
     @jax.jit
     def shade(ro, rd):
+        def map_wgsl(p):
+            """[N, 3] → [N] scene distance: smin_exp fold ≡ -log Σe^{-kd}/k
+            (shader.wgsl:43-61)."""
+            diff = p[:, None, :] - centers[None, :, :]
+            d = jnp.sqrt(jnp.sum(diff * diff, axis=2)) - radii.reshape(1, -1)
+            val = d * -32.0
+            mx = jnp.max(val, axis=1, keepdims=True)
+            return -(jnp.log(jnp.sum(jnp.exp(val - mx), axis=1))
+                     + mx[:, 0]) / 32.0
+
         def body(_, carry):
             t, hit = carry
             p = ro + rd * t
-            d = scene_sdf(p, centers, radii, 32.0)
+            d = map_wgsl(p)[:, None]
             hit = hit | (d[:, 0] < 0.001)
             step = jnp.where((hit | (t[:, 0] > 20.0))[:, None], 0.0, d)
             return t + step, hit
@@ -86,11 +103,20 @@ def _viewer_shade(ro, rd, centers, colors, radii, light_dir, ambient):
         t, hit = jax.lax.fori_loop(0, 100, body, (t0, hit0))
 
         p = ro + rd * t
-        normal = scene_normal(p, centers, radii, 32.0)
+        # Tetrahedral 4-tap normals (shader.wgsl:63-72): k=(1,-1), eps 1e-3.
+        eps = 0.001
+        taps = jnp.asarray([[1.0, -1.0, -1.0], [-1.0, -1.0, 1.0],
+                            [-1.0, 1.0, -1.0], [1.0, 1.0, 1.0]], jnp.float32)
+        n_raw = sum(taps[i] * map_wgsl(p + taps[i] * eps)[:, None]
+                    for i in range(4))
+        normal = n_raw / jnp.maximum(
+            jnp.sqrt(jnp.sum(n_raw * n_raw, axis=1, keepdims=True)), 1e-20)
         ld = light_dir / jnp.sqrt(jnp.sum(light_dir * light_dir))
         diff = jnp.maximum(jnp.sum(normal * ld[None, :], axis=1,
                                    keepdims=True), 0.0)
-        dists = pairwise_sphere_dists(p, centers, radii)
+        dd = p[:, None, :] - centers[None, :, :]
+        dists = (jnp.sqrt(jnp.sum(dd * dd, axis=2))
+                 - radii.reshape(1, -1))
         w = jnp.exp(dists * -10.0)
         color = (jnp.dot(w, colors, precision=jax.lax.Precision.HIGHEST)
                  / (jnp.sum(w, axis=1, keepdims=True) + 1e-5))

@@ -60,7 +60,8 @@ def evaluate_views(
                            march_normal_fn=march_normal_fn,
                            softmax_sharpness=softmax_sharpness,
                            mask_sharpness=mask_sharpness,
-                           cull=cull, clusters=clusters)
+                           cull=cull, clusters=clusters,
+                           order_wh=(width, height))
         per_view.append(psnr_u8(encode_u8(img), encode_u8(np.asarray(tgt))))
     return {
         "per_view": per_view,

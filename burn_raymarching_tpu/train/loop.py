@@ -30,11 +30,7 @@ import numpy as np
 
 from burn_raymarching_tpu.config import TrainConfig
 from burn_raymarching_tpu.data.camera import create_camera_rays
-from burn_raymarching_tpu.data.dataset import (
-    RayDataset,
-    gather_batch,
-    sample_batch_indices,
-)
+from burn_raymarching_tpu.data.dataset import RayDataset
 from burn_raymarching_tpu.data.image_io import load_image_as_array, save_array_as_image
 from burn_raymarching_tpu.data.scene_io import export_scene_json, load_cameras
 from burn_raymarching_tpu.models.scene import (
@@ -42,11 +38,9 @@ from burn_raymarching_tpu.models.scene import (
     activate,
     init_scene_params,
     pad_params,
-    scene_forward,
 )
 from burn_raymarching_tpu.render.preview import render_tiled
 from burn_raymarching_tpu.train.density import prune_and_split
-from burn_raymarching_tpu.train.loss import compute_loss
 from burn_raymarching_tpu.train.optimizer import (
     anneal_for_step,
     lr_for_step,
@@ -113,6 +107,7 @@ class Trainer:
         self.cfg = cfg
         self.dataset = dataset
         self.log = log
+        self._io = True   # subclasses gate file writes to host 0
         self.march_normal_fn = None
         self.culled_march_normal_fn = None
         self.repulsion_fn = None
@@ -120,9 +115,20 @@ class Trainer:
             march_fn = self._default_march()
         self.march_fn = march_fn
         self.tx = make_optimizer(cfg)
-        kernel_for_mode = (self.culled_march_normal_fn if cfg.use_culling
-                           else self.march_normal_fn)
-        self.warm = bool(cfg.warm_start and kernel_for_mode is not None)
+        self.warm = self._warm_gate()
+        # fg-boosted sampling pools: pixel-level (the reference's), or
+        # tile-level for Morton-block batches (see config.sample_mode).
+        if cfg.sample_mode == "tile":
+            if not cfg.use_culling or cfg.dataset_order != "morton":
+                raise ValueError('sample_mode="tile" requires use_culling '
+                                 'and dataset_order="morton"')
+            if cfg.batch_size % cfg.cull_tile:
+                raise ValueError("batch_size must divide by cull_tile for "
+                                 'sample_mode="tile"')
+            fg_t, n_t = dataset.tile_fg(cfg.cull_tile)
+            self._sample_fg = (fg_t, jnp.asarray(n_t, jnp.int32))
+        else:
+            self._sample_fg = (dataset.fg_indices, dataset.n_fg)
         self._chunk = (cfg.steps_per_call
                        if cfg.steps_per_stage % cfg.steps_per_call == 0
                        else 1)
@@ -131,7 +137,52 @@ class Trainer:
         self.metrics = MetricsLogger(cfg.metrics_jsonl)
         self.t_cache = None
         if self.warm:
-            self.t_cache = jnp.zeros((dataset.num_total_pixels,), jnp.float32)
+            self.t_cache = self._init_t_cache()
+
+    def _warm_gate(self) -> bool:
+        """Warm-start availability: the culled path always has a march
+        (fused kernel on TPU, render/culled.culled_march_normals_xla
+        elsewhere); the dense path needs the fused kernel."""
+        if not self.cfg.warm_start:
+            return False
+        if self.cfg.use_culling:
+            return True
+        return self.march_normal_fn is not None
+
+    def _init_t_cache(self) -> jax.Array:
+        return jnp.zeros((self.dataset.num_total_pixels,), jnp.float32)
+
+    def _bucket(self, n: int) -> int:
+        """Padded primitive-slot count for n live primitives. Subclasses add
+        layout quanta (even model shards, whole cluster groups)."""
+        return bucket_size(n)
+
+    def _place(self, padded: SceneParams, mask: jax.Array):
+        """Device placement of freshly padded stage params (identity on one
+        chip; the sharded driver device_puts with mesh shardings)."""
+        return padded, mask
+
+    def _prepare_stage_params(self, params: SceneParams) -> SceneParams:
+        """Pre-stage primitive-row normalization (identity here; the sharded
+        driver Morton-sorts rows so consecutive cluster groups — and the
+        model shards — are spatially coherent). A scene is a set, so any
+        reordering is semantics-free; run() calls this BEFORE snapshotting
+        the stage-start centers density control diffs against."""
+        return params
+
+    def _build_cluster_table(self, padded: SceneParams, mask: jax.Array):
+        """(member_idx [C, G], member_valid [C, G]) for hierarchical culling
+        / cluster repulsion, or empty tables when neither is on."""
+        cfg = self.cfg
+        if ((cfg.use_culling and cfg.cull_hierarchical)
+                or cfg.cluster_repulsion):
+            from burn_raymarching_tpu.ops.culling import build_clusters
+
+            cl = build_clusters(np.asarray(padded.centers),
+                                mask=np.asarray(mask),
+                                group=cfg.cull_cluster_group)
+            return cl.member_idx, cl.member_valid
+        return jnp.zeros((0, 0), jnp.int32), jnp.zeros((0, 0), bool)
 
     def _default_march(self):
         from burn_raymarching_tpu.ops.march import march_xla
@@ -156,185 +207,38 @@ class Trainer:
         """Jitted multi-step runner: ``steps_per_call`` training steps chained
         with lax.scan in ONE device program.
 
-        Anneal scalars (progress, smooth_k, uniform_ratio — reference
-        train.rs:170-176) and the mid-stage LR drop (train.rs:193-197) are
-        computed in-graph from the step index, so a whole chunk needs a
-        single dispatch — on this environment's tunneled TPU runtime each
-        launch costs ~32 ms, and real pods also benefit.
+        The per-step computation lives in train/step_body.make_device_step
+        (shared verbatim with the sharded driver). Anneal scalars (progress,
+        smooth_k, uniform_ratio — reference train.rs:170-176) and the
+        mid-stage LR drop (train.rs:193-197) are computed in-graph from the
+        step index, so a whole chunk needs a single dispatch — on this
+        environment's tunneled TPU runtime each launch costs ~32 ms, and
+        real pods also benefit.
         """
+        from burn_raymarching_tpu.train.step_body import (
+            lr_scale_tree,
+            make_device_step,
+        )
+
         cfg = self.cfg
-        march_fn = self.march_fn
-        march_normal_fn = self.march_normal_fn
-        culled_march_fn = self.culled_march_normal_fn
-        repulsion_fn = self.repulsion_fn
-        batch = cfg.batch_size
-        warm = self.warm
-        total_steps = float(cfg.total_steps)
-        half_stage = cfg.steps_per_stage // 2
+        device_step = make_device_step(
+            cfg, march_fn=self.march_fn,
+            march_normal_fn=self.march_normal_fn,
+            culled_march_fn=self.culled_march_normal_fn,
+            repulsion_fn=self.repulsion_fn,
+            batch=cfg.batch_size, warm=self.warm)
+        lr_scales = lr_scale_tree(cfg)
 
         @jax.jit
         def run_chunk(params, opt_state, key, mask, packed, fg_indices, n_fg,
                       t_cache, stage, step0, cl_member_idx, cl_member_valid):
-            # Hierarchical culling is enabled by a NON-EMPTY cluster table —
-            # a static (shape-level) switch, so both variants jit cleanly.
-            use_hier = (cfg.use_culling and cfg.cull_hierarchical
-                        and cl_member_idx.shape[0] > 0)
-            clusters_arg = None
-            if cl_member_idx.shape[0] > 0:
-                from burn_raymarching_tpu.ops.culling import PrimitiveClusters
-
-                clusters_arg = PrimitiveClusters(cl_member_idx,
-                                                 cl_member_valid)
-            rep_clusters = clusters_arg if cfg.cluster_repulsion else None
-            cull_clusters = clusters_arg if use_hier else None
             def one_step(carry, i):
                 params, opt_state, t_cache = carry
-                # 1-based step within the stage (reference train.rs:169).
-                step = step0 + i + 1
-                global_step = (stage * cfg.steps_per_stage + step).astype(
-                    jnp.float32)
-                # Capped at 1: a no-op inside the schedule (max global_step
-                # == total), but polish() runs PAST the schedule end with a
-                # step offset so its anneals stay pinned at their final
-                # values (smooth_k = max, uniform_ratio = end, dropped LR).
-                progress = jnp.minimum(global_step / total_steps, 1.0)
-                smooth_k = cfg.min_smooth_k + (
-                    cfg.max_smooth_k - cfg.min_smooth_k) * progress
-                uniform_ratio = cfg.uniform_ratio_start - (
-                    (cfg.uniform_ratio_start - cfg.uniform_ratio_end)
-                    * progress)
-                base_lr = cfg.base_lr * jnp.power(
-                    jnp.float32(cfg.lr_stage_decay), stage.astype(jnp.float32))
-                lr = jnp.where(step > half_stage,
-                               base_lr * cfg.lr_midstage_factor, base_lr)
-
                 k = jax.random.fold_in(key, i)
-                idx = sample_batch_indices(
-                    k, packed.shape[0], fg_indices, n_fg, batch, uniform_ratio
-                )
-                if cfg.use_culling:
-                    # Sorted indices → tile-coherent rays. A with-replacement
-                    # sample is order-free, so the loss is unchanged.
-                    idx = jnp.sort(idx)
-                ro, rd, tgt = gather_batch(packed, idx)
-
-                mn_fn = march_normal_fn
-                rc = cfg.render
-                # The fused shade kernel hard-codes the reference's
-                # compositor constants; non-default sharpness (fine-structure
-                # scenes) routes through the parameterized XLA path.
-                fused_shade = (march_normal_fn is not None
-                               and cfg.use_fused_shade
-                               and not cfg.use_culling
-                               and (rc.softmax_sharpness,
-                                    rc.mask_sharpness) == (10.0, 15.0))
-                culled_pre = None
-                if cfg.use_culling and culled_march_fn is not None:
-                    # Detached selection + fused culled march/normals kernel
-                    # OUTSIDE the autodiff trace (t and normals carry no
-                    # gradients by construction); the renderer re-gathers
-                    # tables from the live params at the same idx for the
-                    # gradient-carrying tail.
-                    from burn_raymarching_tpu.ops.culling import (
-                        select_tile_primitives,
-                        select_tile_primitives_hier,
-                        tile_cones,
-                    )
-
-                    centers_p, _, radii_p, _, _ = activate(
-                        jax.lax.stop_gradient(params))
-                    cones = tile_cones(ro, rd, cfg.cull_tile)
-                    if cull_clusters is not None:
-                        idx_t, valid_t = select_tile_primitives_hier(
-                            cones, centers_p, radii_p, smooth_k,
-                            cfg.cull_budget, cull_clusters,
-                            cfg.cull_cluster_budget, mask=mask)
-                    else:
-                        idx_t, valid_t = select_tile_primitives(
-                            cones, centers_p, radii_p, smooth_k,
-                            cfg.cull_budget, mask=mask)
-                    cs_t = jnp.take(centers_p, idx_t, axis=0)
-                    rs_t = jnp.take(radii_p.reshape(-1), idx_t, axis=0)
-                    qs_t = jnp.where(valid_t, jnp.sum(cs_t * cs_t, axis=2),
-                                     1e30)
-                    b_t = batch // cfg.cull_tile
-                    ro3 = ro.reshape(b_t, cfg.cull_tile, 3)
-                    rd3 = rd.reshape(b_t, cfg.cull_tile, 3)
-                    if warm:
-                        t0 = (jnp.take(t_cache, idx) * cfg.warm_backoff
-                              ).reshape(b_t, cfg.cull_tile, 1)
-                        t, normal = culled_march_fn(
-                            ro3, rd3, cs_t, rs_t, qs_t, smooth_k,
-                            num_steps=cfg.warm_steps,
-                            normal_eps=rc.normal_eps, t_init=t0)
-                        t_cache = t_cache.at[idx].set(t.reshape(-1))
-                    else:
-                        t, normal = culled_march_fn(
-                            ro3, rd3, cs_t, rs_t, qs_t, smooth_k,
-                            num_steps=rc.march_steps,
-                            normal_eps=rc.normal_eps)
-                    culled_pre = (idx_t, valid_t, t, normal)
-                elif warm or fused_shade:
-                    # Detached march outside the grad path (t and normals
-                    # carry no gradients by construction).
-                    centers_p, _, radii_p, _, _ = activate(
-                        jax.lax.stop_gradient(params))
-                    if warm:
-                        t0 = (jnp.take(t_cache, idx)[:, None]
-                              * cfg.warm_backoff)
-                        t, normal = march_normal_fn(
-                            ro, rd, centers_p, radii_p, smooth_k, mask=mask,
-                            num_steps=cfg.warm_steps, t_init=t0)
-                        t_cache = t_cache.at[idx].set(t[:, 0])
-                    else:
-                        t, normal = march_normal_fn(
-                            ro, rd, centers_p, radii_p, smooth_k, mask=mask)
-                    mn_fn = lambda *a, **kw: (t, normal)  # noqa: E731
-
-                def loss_fn(p):
-                    if cfg.use_culling:
-                        from burn_raymarching_tpu.render.culled import (
-                            render_diff_culled,
-                        )
-
-                        c_p, col_p, r_p, ld_p, amb_p = activate(p)
-                        out = render_diff_culled(
-                            ro, rd, c_p, col_p, r_p, ld_p, amb_p, smooth_k,
-                            mask=mask, tile=cfg.cull_tile,
-                            k_budget=cfg.cull_budget,
-                            clusters=cull_clusters,
-                            cluster_budget=cfg.cull_cluster_budget,
-                            num_steps=rc.march_steps,
-                            softmax_sharpness=rc.softmax_sharpness,
-                            mask_sharpness=rc.mask_sharpness,
-                            normal_eps=rc.normal_eps,
-                            precomputed=culled_pre)
-                    elif fused_shade:
-                        from burn_raymarching_tpu.ops.pallas.shade_kernel                             import shade_fused
-
-                        c_p, col_p, r_p, ld_p, amb_p = activate(p)
-                        out = shade_fused(ro, rd, t, normal, c_p, r_p,
-                                          col_p, ld_p, amb_p, smooth_k,
-                                          mask=mask)
-                    else:
-                        out = scene_forward(p, ro, rd, smooth_k, mask=mask,
-                                            march_fn=march_fn,
-                                            march_normal_fn=mn_fn,
-                                            num_steps=rc.march_steps,
-                                            softmax_sharpness=rc.softmax_sharpness,
-                                            mask_sharpness=rc.mask_sharpness,
-                                            normal_eps=rc.normal_eps)
-                    return compute_loss(p, out, tgt, progress, mask=mask,
-                                        cfg=cfg.loss,
-                                        repulsion_clusters=rep_clusters,
-                                        repulsion_fn=repulsion_fn)
-
-                loss, grads = jax.value_and_grad(loss_fn)(params)
+                loss, grads, t_cache, lr = device_step(
+                    params, k, i, stage, step0, mask, packed, fg_indices,
+                    n_fg, t_cache, cl_member_idx, cl_member_valid)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
-                lr_scales = SceneParams(
-                    centers=cfg.lr_scale_centers, colors=cfg.lr_scale_colors,
-                    radii=cfg.lr_scale_radii, light_dir=cfg.lr_scale_light,
-                    ambient=cfg.lr_scale_light)
                 params = jax.tree.map(lambda p, u, s: p - lr * s * u, params,
                                       updates, lr_scales)
                 return (params, opt_state, t_cache), loss
@@ -363,8 +267,9 @@ class Trainer:
         pin the anneals past the schedule end).
         """
         cfg = self.cfg
-        m_pad = bucket_size(params.n)
+        m_pad = self._bucket(params.n)
         padded, mask = pad_params(params, m_pad)
+        padded, mask = self._place(padded, mask)
         opt_state = self.tx.init(padded)
         ds = self.dataset
         steps = num_steps if num_steps is not None else cfg.steps_per_stage
@@ -383,23 +288,14 @@ class Trainer:
         # Hierarchical culling: Morton cluster membership refreshed per
         # stage from the stage-start centers (like the reference's own
         # host-side density control); in-step bounds track live centers.
-        cl_idx = jnp.zeros((0, 0), jnp.int32)
-        cl_valid = jnp.zeros((0, 0), bool)
-        if ((cfg.use_culling and cfg.cull_hierarchical)
-                or cfg.cluster_repulsion):
-            from burn_raymarching_tpu.ops.culling import build_clusters
-
-            cl = build_clusters(np.asarray(padded.centers),
-                                mask=np.asarray(mask),
-                                group=cfg.cull_cluster_group)
-            cl_idx, cl_valid = cl.member_idx, cl.member_valid
+        cl_idx, cl_valid = self._build_cluster_table(padded, mask)
         t0 = time.time()
         stage_arr = jnp.asarray(stage, jnp.int32)
         for start in range(0, steps, chunk):
             key, sub = jax.random.split(key)
             padded, opt_state, t_cache, losses = self._step_fn(
-                padded, opt_state, sub, mask, ds.packed, ds.fg_indices,
-                ds.n_fg, t_cache, stage_arr,
+                padded, opt_state, sub, mask, ds.packed, self._sample_fg[0],
+                self._sample_fg[1], t_cache, stage_arr,
                 jnp.asarray(start + step_offset, jnp.int32),
                 cl_idx, cl_valid,
             )
@@ -485,7 +381,7 @@ class Trainer:
                      f"===")
             if kept:
                 best_psnr, padded, mask = cand_psnr, cand, cand_mask
-        if export:
+        if export and self._io:
             export_scene_json(padded, cfg.scene_json, mask=np.asarray(mask))
             self.log(f"  => Saved polished scene to {cfg.scene_json} "
                      f"(PSNR {best_psnr:.2f})")
@@ -503,7 +399,7 @@ class Trainer:
         cfg = self.cfg
         ds = self.dataset
         centers_p, _, radii_p, _, _ = activate(padded)
-        culled = cfg.use_culling and self.culled_march_normal_fn is not None
+        culled = cfg.use_culling
         chunks = []
         chunk = cfg.batch_size
         n = ds.num_total_pixels
@@ -545,7 +441,15 @@ class Trainer:
         rs = jnp.take(radii_p.reshape(-1), idx_t, axis=0)
         qs = jnp.where(valid_t, jnp.sum(cs * cs, axis=2), 1e30)
         b = n_pad // tile
-        t, _ = self.culled_march_normal_fn(
+        kern = self.culled_march_normal_fn
+        if kern is None:
+            # Non-TPU backends (virtual CPU meshes): the XLA twin.
+            from burn_raymarching_tpu.render.culled import (
+                culled_march_normals_xla,
+            )
+
+            kern = culled_march_normals_xla
+        t, _ = kern(
             ro.reshape(b, tile, 3), rd.reshape(b, tile, 3), cs, rs, qs,
             k_val, num_steps=cfg.render.march_steps,
             normal_eps=cfg.render.normal_eps)
@@ -575,6 +479,8 @@ class Trainer:
                           march_normal_fn=self.culled_march_normal_fn)
 
     def save_preview(self, padded, mask, path: str):
+        if not self._io:
+            return
         cfg = self.cfg
         ro, rd = create_camera_rays(
             cfg.width, cfg.height, [0.0, 0.0, -2.5], [0.0, 0.0, 0.0], 50.0
@@ -585,7 +491,8 @@ class Trainer:
                            march_normal_fn=self.march_normal_fn,
                            softmax_sharpness=cfg.render.softmax_sharpness,
                            mask_sharpness=cfg.render.mask_sharpness,
-                           cull=self._cull_render())
+                           cull=self._cull_render(),
+                           order_wh=(cfg.width, cfg.height))
         save_array_as_image(img, cfg.width, cfg.height, path)
         self.log(f"Saved image to {path}")
 
@@ -598,7 +505,7 @@ class Trainer:
         """Stage-boundary checkpoint of RAW next-generation params — the
         resume point the reference lacks (SURVEY §5 failure recovery)."""
         path = self._ckpt_path(stage)
-        if not path:
+        if not path or not self._io:
             return
         os.makedirs(os.path.dirname(path), exist_ok=True)
         np.savez(
@@ -673,13 +580,16 @@ class Trainer:
         padded, mask = pad_params(params, bucket_size(params.n))
         for stage in range(start_stage, cfg.stages):
             self.log(f"=== Stage {stage + 1}/{cfg.stages} (N = {params.n}) ===")
+            params = self._prepare_stage_params(params)
             stage_init_centers = np.asarray(params.centers)
             key, sub = jax.random.split(key)
             padded, mask, _ = self.run_stage(params, stage, sub)
 
             if stage == cfg.stages - 1:
                 self.log("🎉 Final Stage Complete! Exporting results...")
-                export_scene_json(padded, cfg.scene_json, mask=np.asarray(mask))
+                if self._io:
+                    export_scene_json(padded, cfg.scene_json,
+                                      mask=np.asarray(mask))
                 self.log(f"  => Saved to {cfg.scene_json} (N = {params.n})")
                 self.save_preview(padded, mask,
                                   os.path.join(cfg.steps_dir, "final_1.png"))

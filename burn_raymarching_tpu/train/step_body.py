@@ -1,0 +1,295 @@
+"""The per-step training computation, shared by every driver.
+
+One function builds the (sample → forward → loss → grad) device step that
+both the single-chip Trainer (train/loop.py) and the multi-chip
+DistributedTrainer (parallel/distributed.py) scan over. The reference has
+exactly one driver (src/bin/train.rs:169-207); keeping ours to one step
+body guarantees the sharded path is never a reduced second implementation
+of the training semantics (anneals, warm start, culling, fused kernels,
+loss) — the axes are the only difference:
+
+  * ``data_axis`` — rays (and the warm-start t cache) are sharded: every
+    device samples from its LOCAL pixel shard (the PRNG key is folded with
+    the axis index), computes a local loss/grads, and the step pmean's
+    them. Dataset shards are equal-sized, so the mean of shard means equals
+    the global batch mean.
+  * ``model_axis`` — the primitive table is sharded: soft-min / softmax
+    compositing combine shards with the two-pass pmax+psum logsumexp
+    (render/culled.py, ops/sdf.py), replicated leaves (light, ambient) get
+    their partial grads psum'd, and cluster tables arrive in GLOBAL row ids
+    (converted to shard-local here). The fused single-device kernels cannot
+    issue per-iteration collectives, so the march runs in XLA
+    (render/culled.culled_march_normals_xla) on this path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from burn_raymarching_tpu.config import TrainConfig
+from burn_raymarching_tpu.data.dataset import gather_batch, sample_batch_indices
+from burn_raymarching_tpu.models.scene import (
+    SceneParams,
+    activate,
+    scene_forward,
+)
+from burn_raymarching_tpu.train.loss import compute_loss
+
+
+def lr_scale_tree(cfg: TrainConfig) -> SceneParams:
+    """Per-parameter-group LR multipliers as a params-shaped pytree."""
+    return SceneParams(
+        centers=cfg.lr_scale_centers, colors=cfg.lr_scale_colors,
+        radii=cfg.lr_scale_radii, light_dir=cfg.lr_scale_light,
+        ambient=cfg.lr_scale_light)
+
+
+def schedule_for_step(cfg: TrainConfig, stage, step):
+    """In-graph anneals for a 1-based step (reference train.rs:166-197):
+    (progress, smooth_k, uniform_ratio, lr), all traced scalars.
+
+    progress caps at 1 so post-schedule steps (Trainer.polish runs with a
+    step offset past the stage end) hold the final annealed values."""
+    total_steps = float(cfg.total_steps)
+    half_stage = cfg.steps_per_stage // 2
+    global_step = (stage * cfg.steps_per_stage + step).astype(jnp.float32)
+    progress = jnp.minimum(global_step / total_steps, 1.0)
+    smooth_k = cfg.min_smooth_k + (
+        cfg.max_smooth_k - cfg.min_smooth_k) * progress
+    uniform_ratio = cfg.uniform_ratio_start - (
+        (cfg.uniform_ratio_start - cfg.uniform_ratio_end) * progress)
+    base_lr = cfg.base_lr * jnp.power(
+        jnp.float32(cfg.lr_stage_decay), stage.astype(jnp.float32))
+    lr = jnp.where(step > half_stage, base_lr * cfg.lr_midstage_factor,
+                   base_lr)
+    return progress, smooth_k, uniform_ratio, lr
+
+
+def make_device_step(
+    cfg: TrainConfig,
+    *,
+    march_fn: Callable,
+    march_normal_fn: Optional[Callable],
+    culled_march_fn: Optional[Callable],
+    repulsion_fn: Optional[Callable],
+    batch: int,
+    warm: bool,
+    data_axis: Optional[str] = None,
+    model_axis: Optional[str] = None,
+    fold_data_index: bool = True,
+) -> Callable:
+    """Build device_step(params, key, i, stage, step0, mask, packed,
+    fg_indices, n_fg, t_cache, cl_idx, cl_valid) → (loss, grads,
+    t_cache_new, lr).
+
+    ``batch`` is the PER-DEVICE batch (cfg.batch_size / data-axis size).
+    All array arguments are the device-local shards; anneal scalars are
+    derived in-graph from (stage, step0, i) so a whole scan chunk compiles
+    into one program. Reference step semantics: train.rs:169-207.
+    """
+
+    def device_step(params, key, i, stage, step0, mask, packed, fg_indices,
+                    n_fg, t_cache, cl_idx, cl_valid):
+        # 1-based step within the stage (reference train.rs:169).
+        step = step0 + i + 1
+        progress, smooth_k, uniform_ratio, lr = schedule_for_step(
+            cfg, stage, step)
+
+        # Hierarchical culling is enabled by a NON-EMPTY cluster table — a
+        # static (shape-level) switch, so both variants jit cleanly.
+        use_hier = (cfg.use_culling and cfg.cull_hierarchical
+                    and cl_idx.shape[0] > 0)
+        clusters_arg = None
+        if cl_idx.shape[0] > 0:
+            from burn_raymarching_tpu.ops.culling import PrimitiveClusters
+
+            if model_axis is not None:
+                # Cluster tables arrive in GLOBAL row ids sharded so each
+                # shard's clusters reference only its own rows (params are
+                # Morton-sorted and the bucket is a multiple of
+                # model_size * G — DistributedTrainer guarantees both).
+                m_local = params.centers.shape[0]
+                cl_idx_local = (cl_idx - jax.lax.axis_index(model_axis)
+                                * m_local).astype(jnp.int32)
+                clusters_arg = PrimitiveClusters(cl_idx_local, cl_valid)
+            else:
+                clusters_arg = PrimitiveClusters(cl_idx, cl_valid)
+        rep_clusters = clusters_arg if cfg.cluster_repulsion else None
+        cull_clusters = clusters_arg if use_hier else None
+
+        if data_axis is not None and fold_data_index:
+            # Per-device sub-batch from the LOCAL pixel shard. (A 1-wide
+            # data axis skips the fold so a (1, model) mesh samples
+            # identically to the single-chip driver — the exact-equivalence
+            # hook the tests use.)
+            key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
+        if cfg.sample_mode == "tile":
+            # Whole-Morton-block sampling: fg_indices/n_fg arrive at TILE
+            # granularity (RayDataset.tile_fg); every sampled tile expands
+            # to its cull_tile consecutive pixels, so each cull tile is one
+            # compact single-view pixel block regardless of view count.
+            tile = cfg.cull_tile
+            tid = sample_batch_indices(
+                key, packed.shape[0] // tile, fg_indices, n_fg,
+                batch // tile, uniform_ratio)
+            idx = (tid[:, None] * tile
+                   + jnp.arange(tile, dtype=jnp.int32)[None, :]).reshape(-1)
+        else:
+            idx = sample_batch_indices(
+                key, packed.shape[0], fg_indices, n_fg, batch, uniform_ratio)
+        if cfg.use_culling:
+            # Sorted indices → tile-coherent rays. A with-replacement
+            # sample is order-free, so the loss is unchanged. (Tile-mode
+            # indices are disjoint-or-equal 512-aligned runs: sorting keeps
+            # every cull_tile window a single block.)
+            idx = jnp.sort(idx)
+        ro, rd, tgt = gather_batch(packed, idx)
+
+        mn_fn = march_normal_fn
+        rc = cfg.render
+        # The fused shade kernel hard-codes the reference's compositor
+        # constants and single-device tables; non-default sharpness
+        # (fine-structure scenes) and M-sharded runs route through the
+        # parameterized XLA path.
+        fused_shade = (march_normal_fn is not None
+                       and cfg.use_fused_shade
+                       and not cfg.use_culling
+                       and model_axis is None
+                       and (rc.softmax_sharpness,
+                            rc.mask_sharpness) == (10.0, 15.0))
+        t = normal = None
+        culled_pre = None
+        if cfg.use_culling:
+            # Detached selection + culled march/normals OUTSIDE the autodiff
+            # trace (t and normals carry no gradients by construction,
+            # reference renderer_diff.rs:25,41-46); the renderer re-gathers
+            # tables from the live params at the same idx for the
+            # gradient-carrying tail.
+            from burn_raymarching_tpu.ops.culling import (
+                select_tile_primitives,
+                select_tile_primitives_hier,
+                tile_cones,
+            )
+            from burn_raymarching_tpu.render.culled import (
+                culled_march_normals_xla,
+            )
+
+            centers_p, _, radii_p, _, _ = activate(
+                jax.lax.stop_gradient(params))
+            cones = tile_cones(ro, rd, cfg.cull_tile)
+            if cull_clusters is not None:
+                idx_t, valid_t = select_tile_primitives_hier(
+                    cones, centers_p, radii_p, smooth_k,
+                    cfg.cull_budget, cull_clusters,
+                    cfg.cull_cluster_budget, mask=mask)
+            else:
+                idx_t, valid_t = select_tile_primitives(
+                    cones, centers_p, radii_p, smooth_k,
+                    cfg.cull_budget, mask=mask)
+            cs_t = jnp.take(centers_p, idx_t, axis=0)
+            rs_t = jnp.take(radii_p.reshape(-1), idx_t, axis=0)
+            qs_t = jnp.where(valid_t, jnp.sum(cs_t * cs_t, axis=2), 1e30)
+            b_t = batch // cfg.cull_tile
+            ro3 = ro.reshape(b_t, cfg.cull_tile, 3)
+            rd3 = rd.reshape(b_t, cfg.cull_tile, 3)
+            # The fused kernel serves single-device tables; M-sharded march
+            # needs per-iteration pmax/psum → XLA twin.
+            kern = (culled_march_fn
+                    if culled_march_fn is not None and model_axis is None
+                    else lambda *a, **kw: culled_march_normals_xla(
+                        *a, model_axis=model_axis, **kw))
+            if warm:
+                t0 = (jnp.take(t_cache, idx) * cfg.warm_backoff
+                      ).reshape(b_t, cfg.cull_tile, 1)
+                t, normal = kern(
+                    ro3, rd3, cs_t, rs_t, qs_t, smooth_k,
+                    num_steps=cfg.warm_steps,
+                    normal_eps=rc.normal_eps, t_init=t0)
+                t_cache = t_cache.at[idx].set(t.reshape(-1))
+            else:
+                t, normal = kern(
+                    ro3, rd3, cs_t, rs_t, qs_t, smooth_k,
+                    num_steps=rc.march_steps,
+                    normal_eps=rc.normal_eps)
+            culled_pre = (idx_t, valid_t, t, normal)
+        elif (warm or fused_shade) and model_axis is None:
+            # Detached dense march outside the grad path. The dense kernel
+            # computes the soft-min over its whole table, so it cannot see a
+            # sharded M — warm/fused dense paths are single-device-table
+            # only (large-M sharded runs use culling anyway).
+            centers_p, _, radii_p, _, _ = activate(
+                jax.lax.stop_gradient(params))
+            if warm:
+                t0 = (jnp.take(t_cache, idx)[:, None] * cfg.warm_backoff)
+                t, normal = march_normal_fn(
+                    ro, rd, centers_p, radii_p, smooth_k, mask=mask,
+                    num_steps=cfg.warm_steps, t_init=t0)
+                t_cache = t_cache.at[idx].set(t[:, 0])
+            else:
+                t, normal = march_normal_fn(
+                    ro, rd, centers_p, radii_p, smooth_k, mask=mask)
+            t_det, n_det = t, normal
+            mn_fn = lambda *a, **kw: (t_det, n_det)  # noqa: E731
+
+        def loss_fn(p):
+            if cfg.use_culling:
+                from burn_raymarching_tpu.render.culled import (
+                    render_diff_culled,
+                )
+
+                c_p, col_p, r_p, ld_p, amb_p = activate(p)
+                out = render_diff_culled(
+                    ro, rd, c_p, col_p, r_p, ld_p, amb_p, smooth_k,
+                    mask=mask, tile=cfg.cull_tile,
+                    k_budget=cfg.cull_budget,
+                    clusters=cull_clusters,
+                    cluster_budget=cfg.cull_cluster_budget,
+                    num_steps=rc.march_steps,
+                    softmax_sharpness=rc.softmax_sharpness,
+                    mask_sharpness=rc.mask_sharpness,
+                    normal_eps=rc.normal_eps,
+                    model_axis=model_axis,
+                    precomputed=culled_pre)
+            elif fused_shade:
+                from burn_raymarching_tpu.ops.pallas.shade_kernel import (
+                    shade_fused,
+                )
+
+                c_p, col_p, r_p, ld_p, amb_p = activate(p)
+                out = shade_fused(ro, rd, t, normal, c_p, r_p,
+                                  col_p, ld_p, amb_p, smooth_k,
+                                  mask=mask)
+            else:
+                out = scene_forward(p, ro, rd, smooth_k, mask=mask,
+                                    march_fn=march_fn,
+                                    model_axis=model_axis,
+                                    march_normal_fn=mn_fn,
+                                    num_steps=rc.march_steps,
+                                    softmax_sharpness=rc.softmax_sharpness,
+                                    mask_sharpness=rc.mask_sharpness,
+                                    normal_eps=rc.normal_eps)
+            return compute_loss(
+                p, out, tgt, progress, mask=mask, cfg=cfg.loss,
+                model_axis=model_axis,
+                repulsion_clusters=rep_clusters,
+                # The fused repulsion kernel is single-device-table only.
+                repulsion_fn=repulsion_fn if model_axis is None else None)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        if data_axis is not None:
+            # Equal shard sizes → mean of shard means is the batch mean.
+            loss = jax.lax.pmean(loss, data_axis)
+            grads = jax.lax.pmean(grads, data_axis)
+        if model_axis is not None:
+            # Replicated leaves accumulated shard-partial contributions.
+            grads = SceneParams(
+                centers=grads.centers, colors=grads.colors,
+                radii=grads.radii,
+                light_dir=jax.lax.psum(grads.light_dir, model_axis),
+                ambient=jax.lax.psum(grads.ambient, model_axis))
+        return loss, grads, t_cache, lr
+
+    return device_step

@@ -55,3 +55,11 @@ def test_render_tiled_matches_unchunked_and_culled():
                               chunk=256,
                               cull=CullRender(tile=16, k_budget=8))
     np.testing.assert_allclose(got_culled, want, atol=2e-4)
+
+    # Morton-tiled culled render: same image, same raster layout (the
+    # permutation is inverted on return). order_wh makes cull tiles compact
+    # pixel blocks — required for honest culled evals at large M.
+    got_morton = render_tiled(padded, ro, rd, smooth_k=32.0, mask=mask,
+                              chunk=256, order_wh=(24, 24),
+                              cull=CullRender(tile=16, k_budget=8))
+    np.testing.assert_allclose(got_morton, want, atol=2e-4)
