@@ -85,7 +85,8 @@ def make_scan_step(cfg, march_normal_fn, warm=False):
             return (params, opt_state, t_cache), loss
 
         (params, opt_state, t_cache), losses = jax.lax.scan(
-            one_step, (params, opt_state, t_cache), jnp.arange(SCAN_STEPS))
+            one_step, (params, opt_state, t_cache), jnp.arange(SCAN_STEPS),
+            unroll=cfg.scan_unroll)
         return params, opt_state, losses
 
     return run, tx
@@ -117,7 +118,10 @@ def main():
     from burn_raymarching_tpu.models.scene import init_scene_params, pad_params
 
     on_tpu = jax.default_backend() == "tpu"
-    cfg = TrainConfig(batch_size=16384 if on_tpu else 2048)
+    # Each scan iteration carries ~0.23 ms fixed runtime overhead here;
+    # unrolling k steps/iteration divides it (A/B via BENCH_UNROLL).
+    cfg = TrainConfig(batch_size=16384 if on_tpu else 2048,
+                      scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")))
 
     rng = np.random.default_rng(0)
     params = init_scene_params(100)

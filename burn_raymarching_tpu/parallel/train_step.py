@@ -266,7 +266,8 @@ def make_sharded_chunk_runner(
             return (params, opt_state, t_cache), loss
 
         (params, opt_state, t_cache), losses = jax.lax.scan(
-            one_step, (params, opt_state, t_cache), jnp.arange(chunk))
+            one_step, (params, opt_state, t_cache), jnp.arange(chunk),
+            unroll=cfg.scan_unroll)
         return params, opt_state, t_cache, losses
 
     return run_chunk

@@ -43,6 +43,8 @@ def build_config(args) -> "TrainConfig":
         overrides["use_culling"] = True
         overrides["cull_budget"] = args.cull
         overrides["dataset_order"] = "morton"
+    if args.sample_mode:
+        overrides["sample_mode"] = args.sample_mode
     if args.cull_hier:
         overrides["cull_hierarchical"] = True
         overrides["cull_cluster_budget"] = args.cull_hier
@@ -111,6 +113,14 @@ def main(argv=None):
                         help="coherent-tile culling with a top-K primitive "
                              "budget (for large scenes; implies Morton "
                              "dataset order)")
+    parser.add_argument("--sample-mode", dest="sample_mode", default=None,
+                        choices=["pixel", "tile"],
+                        help="batch construction: 'tile' samples whole "
+                             "Morton pixel blocks (fg-boosted per tile) so "
+                             "every cull tile is a single-view block — "
+                             "required for effective culling on many-view "
+                             "datasets (pixel-i.i.d. batches degenerate the "
+                             "tile cones); requires --cull")
     parser.add_argument("--cull-hier", dest="cull_hier", type=int, default=0,
                         metavar="CB",
                         help="two-level culling: cluster bounding spheres "

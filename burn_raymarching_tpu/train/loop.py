@@ -245,7 +245,7 @@ class Trainer:
 
             (params, opt_state, t_cache), losses = jax.lax.scan(
                 one_step, (params, opt_state, t_cache),
-                jnp.arange(self._chunk))
+                jnp.arange(self._chunk), unroll=cfg.scan_unroll)
             return params, opt_state, t_cache, losses
 
         return run_chunk

@@ -6,8 +6,18 @@ pod (validated on virtual meshes by tests/test_sharding.py and
 __graft_entry__.dryrun_multichip); this script runs everything else at the
 stated shape on the one available chip: a 100-view 256^2 procedural capture
 (6.55M training pixels), 51,200 prior-seeded spheres, the large-scene
-recipe (decoupled decay, per-group LRs, k=128 / sharp 40,60, hierarchical
-culling, cluster repulsion, turbo warm-start), 1x1000 steps.
+recipe (decoupled decay, per-group LRs, k=128 / sharp 40,60, cluster
+repulsion, turbo warm-start) — and, new in round 2, the two fixes that
+turned the flat round-1 runs into actual learning:
+
+  * sample_mode="tile" — batches are whole Morton pixel blocks, so every
+    cull tile is a compact single-view block (i.i.d. pixel samples sorted
+    across 100 views put ~3 cameras into each tile, degenerating its cone
+    and making top-K selection arbitrary among all 51k primitives);
+  * cull_budget=4096 with flat selection — covers the stacked init's
+    qualifying sets (mean ~3.8k/tile), so train and eval share one honest
+    forward instead of two differently-truncated ones (tile batches have
+    only 32 cones, so flat top-K over all M is cheap).
 
 Prints ceiling / init / trained PSNR (the same three-row methodology as the
 config-4 run in docs/SCALING.md) plus wall-clock and step rate.
@@ -39,6 +49,10 @@ def main(argv=None):
     p.add_argument("--gt-n", dest="gt_n", type=int, default=2000)
     p.add_argument("--init-n", dest="init_n", type=int, default=51200)
     p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--stages", type=int, default=1)
+    p.add_argument("--lr-radii", dest="lr_radii", type=float, default=0.1)
+    p.add_argument("--lr-light", dest="lr_light", type=float, default=0.5)
+    p.add_argument("--base-lr", dest="base_lr", type=float, default=0.02)
     p.add_argument("--batch", type=int, default=16384)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--far-field", dest="far_field", default="member",
@@ -47,6 +61,19 @@ def main(argv=None):
     p.add_argument("--data", default=None,
                    help="reuse an existing dataset dir instead of generating")
     p.add_argument("--no-repulsion", action="store_true")
+    p.add_argument("--cull-budget", dest="cull_budget", type=int,
+                   default=4096,
+                   help="per-tile top-K budget; must cover the qualifying "
+                   "sets (mean ~3.8k on the stacked 51k init) or the "
+                   "train/eval forwards truncate differently and appearance "
+                   "fits do not transfer (round-1 flatline)")
+    p.add_argument("--sample-mode", dest="sample_mode", default="tile",
+                   choices=["tile", "pixel"],
+                   help="'tile' keeps every cull tile a single-view Morton "
+                   "block (pixel-i.i.d. batches degenerate the tile cones)")
+    p.add_argument("--hier", action="store_true",
+                   help="hierarchical selection (tile batches have only 32 "
+                   "cones, flat top-K over all M is cheap and exact)")
     p.add_argument("--jitter", type=float, default=0.02)
     p.add_argument("--lr-centers", dest="lr_centers", type=float,
                    default=0.001)
@@ -108,19 +135,20 @@ def main(argv=None):
     cfg = TrainConfig(
         batch_size=args.batch,
         width=args.size, height=args.size,
-        stages=1, steps_per_stage=args.steps,
-        base_lr=0.02, seed=args.seed,
+        stages=args.stages, steps_per_stage=args.steps,
+        base_lr=args.base_lr, seed=args.seed,
         init_n=args.init_n, init_layout="cloud",
         init_points=init_points_path,
         warm_start=True, use_fused_shade=True,
-        use_culling=True, cull_budget=256, dataset_order="morton",
-        cull_hierarchical=True, cull_cluster_budget=32,
+        use_culling=True, cull_budget=args.cull_budget,
+        dataset_order="morton", sample_mode=args.sample_mode,
+        cull_hierarchical=args.hier, cull_cluster_budget=32,
         cluster_repulsion=not args.no_repulsion,
         init_points_jitter=args.jitter,
         weight_decay_mode="decoupled",
         min_smooth_k=128.0, max_smooth_k=128.0,
         lr_scale_centers=args.lr_centers, lr_scale_colors=1.0,
-        lr_scale_radii=0.1, lr_scale_light=0.5,
+        lr_scale_radii=args.lr_radii, lr_scale_light=args.lr_light,
         render=RenderConfig(softmax_sharpness=40.0, mask_sharpness=60.0),
         loss=LossConfig(repulsion_far_field=args.far_field),
         cameras_json=os.path.join(data_dir, "cameras.json"),
@@ -188,10 +216,12 @@ def main(argv=None):
           f"eval {time.perf_counter() - t0:.0f}s]")
 
     results.update(views=args.views, size=args.size, init_n=args.init_n,
-                   steps=args.steps, far_field=args.far_field,
+                   steps=args.steps, stages=args.stages,
+                   lr_radii=args.lr_radii, base_lr=args.base_lr, far_field=args.far_field,
                    seed=args.seed, repulsion=not args.no_repulsion,
                    jitter=args.jitter, lr_centers=args.lr_centers,
-                   prior=args.prior)
+                   prior=args.prior, cull_budget=args.cull_budget,
+                   sample_mode=args.sample_mode, hier=args.hier)
     with open(os.path.join(args.out, "results.json"), "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
