@@ -43,7 +43,7 @@ def build_config(args) -> "TrainConfig":
         overrides["use_culling"] = True
         overrides["cull_budget"] = args.cull
         overrides["dataset_order"] = "morton"
-    if args.sample_mode:
+    if getattr(args, "sample_mode", None):
         overrides["sample_mode"] = args.sample_mode
     if args.cull_hier:
         overrides["cull_hierarchical"] = True
