@@ -64,6 +64,15 @@ class DensityConfig:
     split_move_dist: float = 0.05        # move^2 > 0.05^2 (training.rs:188)
     split_child_radius_scale: float = 0.8  # (training.rs:203)
     split_child_min_radius: float = 0.01
+    # TPU-native extension (no reference counterpart; default OFF): merge
+    # primitives sharing a Morton grid cell of this size at stage
+    # boundaries. Prior-seeded 50k clouds stack ~25 primitives per SfM
+    # point; the stack renders as ONE inflated blob (soft-min of n equal
+    # distances ≈ d − ln(n)/k) while multiplying every per-tile qualifying
+    # set. Merging keeps the represented surface (largest member radius,
+    # weight-averaged center/color) and compacts N like 3DGS's own
+    # duplicate cleanup.
+    merge_cell: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -48,6 +48,51 @@ class DensityStats:
     pruned_black: int
     split: int
     kept: int
+    merged: int = 0
+
+
+def merge_redundant(
+    raw_centers: np.ndarray,   # [M, 3] raw
+    raw_colors: np.ndarray,    # [M, 3] logits
+    raw_radii: np.ndarray,     # [M, 1] raw
+    cell: float,
+):
+    """Merge primitives sharing a quantized grid cell of size ``cell``.
+
+    TPU-native density-control extension (DensityConfig.merge_cell; the
+    reference has no overlap rule — its 6-7 fat spheres never stack).
+    Prior-seeded clouds put ~25 primitives on each SfM point; a stack
+    renders as one soft-min-inflated blob and multiplies every per-tile
+    qualifying set by its depth. Per occupied cell the merge keeps:
+
+      center — member mean (the stack's centroid),
+      color  — member logit mean (≈ geometric-mean color, what the softmax
+               compositor effectively shows for a tight stack),
+      radius — the LARGEST member's (the stack's represented surface;
+               training re-adjusts from there).
+
+    Returns (centers, colors, radii, n_merged_away).
+    """
+    c = np.asarray(raw_centers, np.float32).reshape(-1, 3)
+    if cell <= 0.0 or c.shape[0] == 0:
+        return raw_centers, raw_colors, raw_radii, 0
+    q = np.floor(c / cell).astype(np.int64)
+    # Collapse 3D cell coords to one key; 2^20 per axis is plenty.
+    key = (q[:, 0] + (1 << 20) * (q[:, 1] + (1 << 20) * q[:, 2]))
+    uniq, inv, counts = np.unique(key, return_inverse=True,
+                                  return_counts=True)
+    k = uniq.shape[0]
+    centers = np.zeros((k, 3), np.float32)
+    colors = np.zeros((k, 3), np.float32)
+    np.add.at(centers, inv, c)
+    np.add.at(colors, inv, np.asarray(raw_colors, np.float32).reshape(-1, 3))
+    centers /= counts[:, None]
+    colors /= counts[:, None]
+    # Raw radii are monotone under softplus, so the raw max IS the largest
+    # physical radius.
+    radii = np.full(k, -np.inf, np.float32)
+    np.maximum.at(radii, inv, np.asarray(raw_radii, np.float32).reshape(-1))
+    return centers, colors, radii[:, None], int(c.shape[0] - k)
 
 
 def prune_and_split(
@@ -124,11 +169,17 @@ def prune_and_split(
     colors = np.concatenate(out_colors).astype(np.float32)
     radii = np.concatenate(out_radii).astype(np.float32)
 
+    merged = 0
+    if cfg.merge_cell > 0.0:
+        centers, colors, radii, merged = merge_redundant(
+            centers, colors, radii, cfg.merge_cell)
+
     stats = DensityStats(
         pruned_size=pruned_size,
         pruned_flyaway=pruned_flyaway,
         pruned_black=pruned_black,
         split=n_split,
         kept=int(hold.sum()),
+        merged=merged,
     )
     return centers, colors, radii, stats

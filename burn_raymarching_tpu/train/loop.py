@@ -616,7 +616,8 @@ class Trainer:
             self.log(
                 f"  => Pruning & Splitting complete. Next N = {params.n} "
                 f"(kept {stats.kept}, split {stats.split}, pruned "
-                f"{stats.pruned_size}+{stats.pruned_flyaway}+{stats.pruned_black})"
+                f"{stats.pruned_size}+{stats.pruned_flyaway}+"
+                f"{stats.pruned_black}, merged {stats.merged})"
             )
             self.save_checkpoint(stage + 1, params, key)
         return padded, mask

@@ -1,0 +1,128 @@
+"""Honest roofline for the dense march kernel (VERDICT r1 next-round #5).
+
+The march's inner work per ray-primitive pair is one expanded-form distance
+(mul/add chain + rsqrt-class op) + one exp, followed by a 128-lane row
+reduce and a log — transcendental/VPU-bound, nowhere near the MXU. Instead
+of quoting datasheet FLOPs, this measures the same op mix as standalone
+elementwise kernels ON THIS CHIP and compares against the fused march:
+
+  floor   — empty lax.scan body (the per-iteration runtime overhead)
+  xcend   — y = exp(-k * sqrt(x)) over exactly the march's element count
+            (N * M_pad * num_steps elements), scan-chained
+  march   — the production fused kernel (cold 40 / warm 16 steps)
+
+speed-of-light ratio = march_time / xcend_time for the same element count:
+how much slower the real kernel is than a pure stream of its dominant ops
+(the gap is the soft-min row reduction, t-update serialization, and tile
+bookkeeping, which the pure stream does not pay).
+
+Usage (TPU):
+  env JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_comp_cache_tpu \
+      PYTHONPATH=/root/repo:/root/.axon_site python scripts/roofline.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/jax_comp_cache_tpu")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SCAN = 200
+N, M_PAD = 16384, 128
+
+
+def timed(fn, *args, reps=3):
+    out = fn(*args)
+    np.asarray(jax.tree.leaves(out)[0])       # sync (block_until_ready is
+    best = float("inf")                       # unreliable through the tunnel)
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0])
+        best = min(best, (time.perf_counter() - t0) / SCAN)
+    return best
+
+
+def main():
+    from burn_raymarching_tpu.data.camera import create_camera_rays
+    from burn_raymarching_tpu.models.scene import init_scene_params, pad_params
+    from burn_raymarching_tpu.ops.pallas import march_shade_pallas
+
+    rng = np.random.default_rng(0)
+    params = init_scene_params(100)
+    params.centers = jnp.asarray(rng.normal(0, 0.3, (100, 3)), jnp.float32)
+    params.radii = jnp.asarray(rng.normal(-2.0, 0.3, (100, 1)), jnp.float32)
+    padded, mask = pad_params(params, M_PAD)
+    centers_p = padded.centers
+    radii_p = jax.nn.softplus(padded.radii) + 0.01
+    ro, rd = create_camera_rays(128, 128, [0.0, 0.5, -2.5], [0, 0, 0], 50.0)
+
+    @jax.jit
+    def floor_fn(x):
+        def body(c, _):
+            return c, ()
+
+        c, _ = jax.lax.scan(body, x, jnp.arange(SCAN))
+        return c
+
+    t_floor = timed(floor_fn, jnp.zeros((8, 128), jnp.float32))
+    print(f"scan floor: {t_floor * 1e3:.3f} ms/iter")
+
+    def make_xcend(steps):
+        @jax.jit
+        def f(x):
+            def body(c, _):
+                # exp+sqrt stream matching one march step's element count,
+                # serialized like the march's t-dependency.
+                for _ in range(steps):
+                    c = jnp.exp(-18.5 * jnp.sqrt(jnp.abs(c) + 1e-6)) + c * 0.5
+                return c, ()
+
+            c, _ = jax.lax.scan(body, x, jnp.arange(SCAN))
+            return c
+
+        return f
+
+    x = jnp.asarray(rng.random((N, M_PAD)), jnp.float32)
+    t_x40 = timed(make_xcend(40), x)
+    t_x16 = timed(make_xcend(16), x)
+    print(f"exp+sqrt stream, {N}x{M_PAD}: 40 passes {t_x40 * 1e3:.3f} ms, "
+          f"16 passes {t_x16 * 1e3:.3f} ms "
+          f"({N * M_PAD * 40 / t_x40 / 1e9:.1f} Gelem/s)")
+
+    def make_march(steps):
+        @jax.jit
+        def f(ro, rd, c, r):
+            def body(carry, _):
+                t, _n = march_shade_pallas(ro, rd, c, r, jnp.float32(18.5),
+                                           mask=mask, num_steps=steps)
+                return carry + t[0, 0] * 0.0, ()
+
+            carry, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(SCAN))
+            return carry
+
+        return f
+
+    t_m40 = timed(make_march(40), ro, rd, centers_p, radii_p)
+    t_m16 = timed(make_march(16), ro, rd, centers_p, radii_p)
+    print(f"march kernel (incl. 1 reattach + 6 normal taps): "
+          f"40 steps {t_m40 * 1e3:.3f} ms, 16 steps {t_m16 * 1e3:.3f} ms")
+    # The kernel runs steps+7 field evaluations; the stream ran `steps`.
+    for steps, t_m, t_x in ((40, t_m40, t_x40), (16, t_m16, t_x16)):
+        evals = steps + 7
+        sol = (t_x / steps) * evals
+        print(f"  {steps}-step march: {t_m * 1e3:.3f} ms vs "
+              f"transcendental-stream bound {sol * 1e3:.3f} ms "
+              f"-> {t_m / sol:.2f}x off")
+
+
+if __name__ == "__main__":
+    main()

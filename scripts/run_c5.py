@@ -50,6 +50,9 @@ def main(argv=None):
     p.add_argument("--init-n", dest="init_n", type=int, default=51200)
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--stages", type=int, default=1)
+    p.add_argument("--merge-cell", dest="merge_cell", type=float, default=0.0,
+                   help="stage-boundary overlap merge (DensityConfig."
+                   "merge_cell): collapse co-located stacked primitives")
     p.add_argument("--lr-radii", dest="lr_radii", type=float, default=0.1)
     p.add_argument("--lr-light", dest="lr_light", type=float, default=0.5)
     p.add_argument("--base-lr", dest="base_lr", type=float, default=0.02)
@@ -104,6 +107,7 @@ def main(argv=None):
                        "--gt-k", "128", "--gt-sharp", "40"])
 
     from burn_raymarching_tpu.config import (
+        DensityConfig,
         LossConfig,
         RenderConfig,
         TrainConfig,
@@ -151,6 +155,7 @@ def main(argv=None):
         lr_scale_radii=args.lr_radii, lr_scale_light=args.lr_light,
         render=RenderConfig(softmax_sharpness=40.0, mask_sharpness=60.0),
         loss=LossConfig(repulsion_far_field=args.far_field),
+        density=DensityConfig(merge_cell=args.merge_cell),
         cameras_json=os.path.join(data_dir, "cameras.json"),
         scene_json=os.path.join(args.out, "scene_c5.json"),
         steps_dir=os.path.join(args.out, "steps"),
@@ -217,6 +222,7 @@ def main(argv=None):
 
     results.update(views=args.views, size=args.size, init_n=args.init_n,
                    steps=args.steps, stages=args.stages,
+                   merge_cell=args.merge_cell,
                    lr_radii=args.lr_radii, base_lr=args.base_lr, far_field=args.far_field,
                    seed=args.seed, repulsion=not args.no_repulsion,
                    jitter=args.jitter, lr_centers=args.lr_centers,

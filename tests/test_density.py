@@ -107,3 +107,45 @@ def test_split_directions_uniformish():
     d = out_c[:200] - c  # first-child offsets
     d = d / np.linalg.norm(d, axis=1, keepdims=True)
     assert np.abs(d.mean(axis=0)).max() < 0.15  # roughly isotropic
+
+
+def test_merge_redundant_stacks():
+    """merge_cell (TPU-native extension): a 10-deep stack in one grid cell
+    collapses to one primitive with mean center/color and MAX radius; a
+    far-away primitive is untouched."""
+    from burn_raymarching_tpu.config import DensityConfig
+    from burn_raymarching_tpu.train.density import (
+        merge_redundant,
+        prune_and_split,
+    )
+
+    rng = np.random.default_rng(0)
+    # Keep the stack strictly inside one 0.05-cell ([0, 0.05)^3).
+    stack = (0.025 + np.clip(0.005 * rng.normal(size=(10, 3)), -0.02, 0.02)
+             ).astype(np.float32)
+    lone = np.asarray([[0.5, 0.5, 0.5]], np.float32)
+    centers = np.concatenate([stack, lone])
+    colors = rng.normal(size=(11, 3)).astype(np.float32)
+    radii = rng.normal(-3.0, 0.2, size=(11, 1)).astype(np.float32)
+
+    c2, col2, r2, n_merged = merge_redundant(centers, colors, radii, 0.05)
+    assert n_merged == 9 and c2.shape == (2, 3)
+    i_lone = int(np.argmin(np.linalg.norm(c2 - lone, axis=1)))
+    i_stack = 1 - i_lone
+    np.testing.assert_allclose(c2[i_lone], lone[0], atol=1e-6)
+    np.testing.assert_allclose(c2[i_stack], stack.mean(axis=0), atol=1e-5)
+    np.testing.assert_allclose(col2[i_stack], colors[:10].mean(axis=0),
+                               atol=1e-5)
+    assert r2[i_stack, 0] == radii[:10].max()
+
+    # Wired through prune_and_split via DensityConfig.merge_cell.
+    init = np.zeros_like(centers)
+    _, _, _, stats = prune_and_split(
+        centers, colors, radii, init, 4, 5, rng,
+        DensityConfig(merge_cell=0.05))
+    assert stats.merged == 9
+
+    # Default OFF: exact reference behavior.
+    _, _, _, stats0 = prune_and_split(centers, colors, radii, init, 4, 5,
+                                      rng)
+    assert stats0.merged == 0
