@@ -71,3 +71,37 @@ def test_hier_culled_training_runs_and_is_finite(cfg_ds, tmp_path,
     for leaf in [padded.centers, padded.colors, padded.radii,
                  padded.light_dir, padded.ambient]:
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_tile_sampling_warm_xla_trains(cfg_ds, tmp_path, monkeypatch):
+    """sample_mode='tile' + warm start through the XLA culled twin (no
+    Pallas on CPU): whole-Morton-block batches, t cache written, finite
+    params. The round-2 config-5 recipe's single-chip path."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg, ds = cfg_ds
+    cfg = dataclasses.replace(cfg, sample_mode="tile", warm_start=True,
+                              warm_steps=6)
+    monkeypatch.chdir(tmp_path)
+    tr = Trainer(cfg, ds, log=lambda s: None)
+    assert tr.warm    # culled warm works without the fused kernel now
+    padded, mask = tr.run()
+    for leaf in [padded.centers, padded.colors, padded.radii,
+                 padded.light_dir, padded.ambient]:
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert np.isfinite(np.asarray(tr.t_cache)).all()
+    assert float(jnp.max(tr.t_cache)) > 0.0
+
+
+def test_tile_fg_marks_tiles_with_any_fg_pixel(cfg_ds):
+    cfg, ds = cfg_ds
+    fg_t, n_t = ds.tile_fg(cfg.cull_tile)
+    assert 0 < n_t <= ds.num_total_pixels // cfg.cull_tile
+    # Every flagged tile really contains a foreground pixel.
+    px = np.asarray(ds.targets).reshape(-1, 3).sum(axis=1)
+    per_tile = (px > ds.fg_threshold).reshape(-1, cfg.cull_tile).any(axis=1)
+    flagged = np.asarray(fg_t)[:n_t]
+    assert per_tile[flagged].all()
+    assert per_tile.sum() == n_t
