@@ -250,3 +250,35 @@ def test_trainer_culled_kernel_cold_path(reference_dir, tmp_path,
     padded, mask = tr.run()
     for leaf in [padded.centers, padded.colors, padded.radii]:
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_xla_twin_matches_kernel(scene):
+    """render/culled.culled_march_normals_xla (used by the sharded step and
+    non-TPU warm start) == the fused kernel on identical tables."""
+    from burn_raymarching_tpu.render.culled import culled_march_normals_xla
+
+    ro, rd, centers, colors, radii, _, _ = scene
+    k = jnp.float32(18.5)
+    cones = tile_cones(ro, rd, TILE)
+    idx, valid = select_tile_primitives(cones, centers, radii, k, K_BUDGET)
+    cs, _, rs, qs = gather_tile_tables(centers, colors, radii, idx, valid)
+    b = ro.shape[0] // TILE
+    ro3 = ro.reshape(b, TILE, 3)
+    rd3 = rd.reshape(b, TILE, 3)
+
+    t_x, n_x = culled_march_normals_xla(ro3, rd3, cs, rs, qs, k)
+    t_pl, n_pl = _kernel()(ro3, rd3, cs, rs, qs, k)
+    np.testing.assert_allclose(np.asarray(t_x), np.asarray(t_pl),
+                               rtol=1e-5, atol=1e-5)
+    hit = np.asarray(t_x)[..., 0] < 20.0
+    assert hit.any()
+    np.testing.assert_allclose(np.asarray(n_x)[hit], np.asarray(n_pl)[hit],
+                               rtol=5e-3, atol=1e-3)
+
+    # Warm start: both paths from the same nonzero t_init and fewer steps.
+    t0 = t_x * 0.8
+    t_xw, _ = culled_march_normals_xla(ro3, rd3, cs, rs, qs, k,
+                                       num_steps=8, t_init=t0)
+    t_plw, _ = _kernel()(ro3, rd3, cs, rs, qs, k, num_steps=8, t_init=t0)
+    np.testing.assert_allclose(np.asarray(t_xw), np.asarray(t_plw),
+                               rtol=1e-5, atol=1e-5)
