@@ -21,10 +21,28 @@ from burn_raymarching_tpu.models.scene import SceneParams, activate
 
 
 def load_cameras(path: str) -> list[dict]:
+    """Load a cameras.json, resolving image paths robustly.
+
+    The reference's train binary resolves ``file`` entries against the
+    process cwd (train.rs:66-68 reads "data/target_*.png" from the crate
+    root). Entries that do not exist from the current directory are
+    resolved against the cameras.json location instead: first its parent's
+    parent (the crate-root layout, where cameras.json lives in ``data/``
+    and entries are ``data/...``-relative), then the json's own directory.
+    """
     with open(path) as f:
         cams = json.load(f)
+    json_dir = os.path.dirname(os.path.abspath(path))
+    root = os.path.dirname(json_dir)
     for c in cams:
         assert {"file", "origin", "target", "fov"} <= set(c), c
+        fp = c["file"]
+        if not os.path.isabs(fp) and not os.path.exists(fp):
+            for cand in (os.path.join(root, fp),
+                         os.path.join(json_dir, os.path.basename(fp))):
+                if os.path.exists(cand):
+                    c["file"] = cand
+                    break
     return cams
 
 

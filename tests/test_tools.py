@@ -206,3 +206,24 @@ def test_colmap_points3d_parse(tmp_path):
     pts = parse_points3d_txt(txt)
     np.testing.assert_allclose(
         pts, [[0.5, -0.25, 2.0], [-1.0, 0.0, 3.5]])
+
+
+def test_load_cameras_resolves_relative_paths(tmp_path, monkeypatch):
+    """cameras.json entries like "data/target_0.png" (crate-root-relative,
+    reference train.rs:66-68) resolve against the json's location when they
+    don't exist from the cwd."""
+    from burn_raymarching_tpu.data.scene_io import load_cameras
+
+    data = tmp_path / "data"
+    data.mkdir()
+    Image.new("RGB", (2, 2)).save(data / "target_0.png")
+    cams = [{"file": "data/target_0.png", "origin": [0, 0, -2.5],
+             "target": [0, 0, 0], "fov": 50.0}]
+    with open(data / "cameras.json", "w") as f:
+        json.dump(cams, f)
+    monkeypatch.chdir(tmp_path)  # cwd-relative works (reference behavior)
+    assert load_cameras(str(data / "cameras.json"))[0]["file"] == \
+        "data/target_0.png"
+    monkeypatch.chdir("/")       # elsewhere: resolved against json location
+    out = load_cameras(str(data / "cameras.json"))[0]["file"]
+    assert out == str(data / "target_0.png") and os.path.exists(out)
