@@ -118,10 +118,12 @@ def main():
     from burn_raymarching_tpu.models.scene import init_scene_params, pad_params
 
     on_tpu = jax.default_backend() == "tpu"
-    # Each scan iteration carries ~0.23 ms fixed runtime overhead here;
-    # unrolling k steps/iteration divides it (A/B via BENCH_UNROLL).
+    # Each scan iteration carries a fixed runtime overhead here (measured
+    # 0.14-0.23 ms); unrolling steps/iteration divides it. Measured A/B on
+    # the chip: unroll 1/2/4/8 -> 10.67/11.05/11.19/11.20 Mrays/s; 4 is
+    # the knee and the default (override via BENCH_UNROLL).
     cfg = TrainConfig(batch_size=16384 if on_tpu else 2048,
-                      scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")))
+                      scan_unroll=int(os.environ.get("BENCH_UNROLL", "4")))
 
     rng = np.random.default_rng(0)
     params = init_scene_params(100)
