@@ -25,6 +25,19 @@ class RenderConfig:
     gt_ambient: float = 0.1          # GT lighting = diffuse + 0.1 (renderer.rs:40)
     gt_weight_sharpness: float = 10.0  # GT compositor exp(-10*d) (renderer.rs:52)
     gt_mask_sharpness: float = 10.0    # GT mask exp(-10*d^2) (renderer.rs:77)
+    # --- TPU-native extension (no reference counterpart, default off) ---
+    # Pixel-footprint-adaptive coverage: the fixed sigmoid(-sharpness*d)
+    # transition has constant WORLD-space width 1/sharpness, i.e. its
+    # screen-space softness varies with depth and resolution (the measured
+    # pathology-2/3 wall: docs/SCALING.md). With mask_pixel_mult > 0 the
+    # transition width becomes max(1/mask_sharpness,
+    # mask_pixel_mult * pixel_angle * t) — never sharper than the
+    # configured sharpness, never narrower than ~mask_pixel_mult pixels on
+    # screen. pixel_angle is the per-pixel view angle in radians
+    # (2*tan(fov/2)/height); callers that know the camera set it
+    # (scripts/run_c5.py --mask-px does this automatically).
+    mask_pixel_mult: float = 0.0
+    pixel_angle: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -90,6 +90,8 @@ def scene_forward(
     softmax_sharpness: float = 10.0,
     mask_sharpness: float = 15.0,
     normal_eps: float = 1e-4,
+    mask_pixel_mult: float = 0.0,
+    pixel_angle: float = 0.0,
 ) -> jax.Array:
     """Full forward: activations + differentiable render → [N, 3].
 
@@ -104,7 +106,8 @@ def scene_forward(
         smooth_k, mask=mask, march_fn=march_fn, model_axis=model_axis,
         march_normal_fn=march_normal_fn, num_steps=num_steps,
         softmax_sharpness=softmax_sharpness, mask_sharpness=mask_sharpness,
-        normal_eps=normal_eps,
+        normal_eps=normal_eps, mask_pixel_mult=mask_pixel_mult,
+        pixel_angle=pixel_angle,
     )
 
 

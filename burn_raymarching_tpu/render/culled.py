@@ -140,6 +140,8 @@ def render_diff_culled(
     model_axis: Optional[str] = None,
     march_normal_fn=None,
     precomputed=None,
+    mask_pixel_mult: float = 0.0,
+    pixel_angle: float = 0.0,
 ) -> jax.Array:
     """Culled differentiable render → [N, 3]. N must divide by ``tile``.
 
@@ -259,9 +261,12 @@ def render_diff_culled(
         mixed = jax.lax.psum(mixed, model_axis)
     object_color = mixed * lighting
 
-    # --- Coverage (renderer_diff.rs:86-90) ---
+    # --- Coverage (renderer_diff.rs:86-90; optionally adaptive) ---
+    from burn_raymarching_tpu.render.diff import adaptive_coverage
+
     dist_scene = _tile_soft_min(p_final, centers_t, radii_t, c_sq_t, smooth_k,
                                 model_axis=model_axis)
-    coverage = jax.nn.sigmoid(dist_scene * (-mask_sharpness))
+    coverage = adaptive_coverage(dist_scene, t_final, mask_sharpness,
+                                 mask_pixel_mult, pixel_angle)
 
     return (object_color * coverage).reshape(n, 3)

@@ -33,6 +33,31 @@ from burn_raymarching_tpu.ops.sdf import (
 )
 
 
+def adaptive_coverage(dist_scene, t_final, mask_sharpness,
+                      mask_pixel_mult=0.0, pixel_angle=0.0):
+    """Coverage mask, optionally pixel-footprint-adaptive.
+
+    Default (mask_pixel_mult == 0): the reference's fixed
+    sigmoid(-mask_sharpness * d) (renderer_diff.rs:86-90).
+
+    With mask_pixel_mult > 0 (TPU-native extension, RenderConfig): the
+    sigmoid's transition width becomes
+        w(t) = max(1 / mask_sharpness, mask_pixel_mult * pixel_angle * t)
+    i.e. never narrower than ~mask_pixel_mult PIXELS at the hit depth, so
+    silhouette coverage stays an anti-aliased, usefully-differentiable
+    function of sub-pixel geometry at any depth, while surfaces keep the
+    configured world-space sharpness as a lower bound. t enters detached
+    (the footprint is geometry metadata, not a gradient path). Missed rays
+    are safe: their scene distance grows ~linearly with t, so d/w tends to
+    the constant 1/(mask_pixel_mult*pixel_angle) >> 1 and coverage -> 0.
+    """
+    if mask_pixel_mult <= 0.0 or pixel_angle <= 0.0:
+        return jax.nn.sigmoid(dist_scene * (-mask_sharpness))
+    rho = jax.lax.stop_gradient(t_final) * pixel_angle
+    w = jnp.maximum(1.0 / mask_sharpness, mask_pixel_mult * rho)
+    return jax.nn.sigmoid(-dist_scene / w)
+
+
 def render_diff(
     ray_org: jax.Array,      # [N, 3]
     ray_dir: jax.Array,      # [N, 3]
@@ -50,6 +75,8 @@ def render_diff(
     normal_eps: float = 1e-4,
     model_axis: Optional[str] = None,
     march_normal_fn=None,
+    mask_pixel_mult: float = 0.0,
+    pixel_angle: float = 0.0,
 ) -> jax.Array:
     """Render a batch of rays → [N, 3] linear RGB.
 
@@ -124,9 +151,10 @@ def render_diff(
         mixed_color = jax.lax.psum(mixed_color, model_axis)
     object_color = mixed_color * lighting
 
-    # --- Coverage mask (renderer_diff.rs:86-90) ---
+    # --- Coverage mask (renderer_diff.rs:86-90; optionally adaptive) ---
     dist_scene = scene_sdf(p_final, centers, radii, smooth_k, mask=mask,
                            model_axis=model_axis)
-    coverage = jax.nn.sigmoid(dist_scene * (-mask_sharpness))
+    coverage = adaptive_coverage(dist_scene, t_final, mask_sharpness,
+                                 mask_pixel_mult, pixel_angle)
 
     return object_color * coverage

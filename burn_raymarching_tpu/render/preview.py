@@ -44,10 +44,11 @@ class CullRender:
 
 @partial(jax.jit, static_argnames=("march_fn", "march_normal_fn",
                                    "softmax_sharpness", "mask_sharpness",
-                                   "cull"))
+                                   "cull", "mask_pixel_mult", "pixel_angle"))
 def _forward_chunks(params, ro3, rd3, smooth_k, mask, march_fn,
                     march_normal_fn, softmax_sharpness=10.0,
-                    mask_sharpness=15.0, cull=None, clusters=None):
+                    mask_sharpness=15.0, cull=None, clusters=None,
+                    mask_pixel_mult=0.0, pixel_angle=0.0):
     """[K, chunk, 3] rays → [K, chunk, 3] colors, one device program."""
 
     def one(args):
@@ -62,12 +63,15 @@ def _forward_chunks(params, ro3, rd3, smooth_k, mask, march_fn,
                 clusters=clusters, cluster_budget=cull.cluster_budget,
                 softmax_sharpness=softmax_sharpness,
                 mask_sharpness=mask_sharpness,
-                march_normal_fn=cull.march_normal_fn)
+                march_normal_fn=cull.march_normal_fn,
+                mask_pixel_mult=mask_pixel_mult, pixel_angle=pixel_angle)
         return scene_forward(params, ro, rd, smooth_k, mask=mask,
                              march_fn=march_fn,
                              march_normal_fn=march_normal_fn,
                              softmax_sharpness=softmax_sharpness,
-                             mask_sharpness=mask_sharpness)
+                             mask_sharpness=mask_sharpness,
+                             mask_pixel_mult=mask_pixel_mult,
+                             pixel_angle=pixel_angle)
 
     return jax.lax.map(one, (ro3, rd3))
 
@@ -86,6 +90,8 @@ def render_tiled(
     cull: Optional[CullRender] = None,
     clusters=None,
     order_wh: Optional[tuple[int, int]] = None,
+    mask_pixel_mult: float = 0.0,
+    pixel_angle: float = 0.0,
 ) -> np.ndarray:
     """Render [P, 3] rays in fixed-size chunks → np.float32 [P, 3].
 
@@ -136,6 +142,8 @@ def render_tiled(
                           march_normal_fn,
                           softmax_sharpness=softmax_sharpness,
                           mask_sharpness=mask_sharpness,
-                          cull=cull, clusters=clusters)
+                          cull=cull, clusters=clusters,
+                          mask_pixel_mult=mask_pixel_mult,
+                          pixel_angle=pixel_angle)
     img = np.asarray(out).reshape(k * chunk, 3)[:n]
     return img[inv] if inv is not None else img

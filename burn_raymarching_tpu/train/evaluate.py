@@ -44,6 +44,8 @@ def evaluate_views(
     mask_sharpness: float = 15.0,
     cull=None,
     clusters=None,
+    mask_pixel_mult: float = 0.0,
+    pixel_angle: float = 0.0,
 ) -> dict:
     """Render every camera with the training forward model and compare.
 
@@ -61,7 +63,9 @@ def evaluate_views(
                            softmax_sharpness=softmax_sharpness,
                            mask_sharpness=mask_sharpness,
                            cull=cull, clusters=clusters,
-                           order_wh=(width, height))
+                           order_wh=(width, height),
+                           mask_pixel_mult=mask_pixel_mult,
+                           pixel_angle=pixel_angle)
         per_view.append(psnr_u8(encode_u8(img), encode_u8(np.asarray(tgt))))
     return {
         "per_view": per_view,

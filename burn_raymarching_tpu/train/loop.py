@@ -364,7 +364,9 @@ class Trainer:
                 march_normal_fn=self.march_normal_fn,
                 softmax_sharpness=cfg.render.softmax_sharpness,
                 mask_sharpness=cfg.render.mask_sharpness,
-                cull=self._cull_render())["mean"]
+                cull=self._cull_render(),
+                mask_pixel_mult=cfg.render.mask_pixel_mult,
+                pixel_angle=cfg.render.pixel_angle)["mean"]
 
         best_psnr = psnr(padded, mask)
         self.log(f"Polish baseline: PSNR {best_psnr:.2f}")
@@ -492,7 +494,9 @@ class Trainer:
                            softmax_sharpness=cfg.render.softmax_sharpness,
                            mask_sharpness=cfg.render.mask_sharpness,
                            cull=self._cull_render(),
-                           order_wh=(cfg.width, cfg.height))
+                           order_wh=(cfg.width, cfg.height),
+                           mask_pixel_mult=cfg.render.mask_pixel_mult,
+                           pixel_angle=cfg.render.pixel_angle)
         save_array_as_image(img, cfg.width, cfg.height, path)
         self.log(f"Saved image to {path}")
 

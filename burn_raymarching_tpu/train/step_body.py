@@ -158,6 +158,7 @@ def make_device_step(
                        and cfg.use_fused_shade
                        and not cfg.use_culling
                        and model_axis is None
+                       and rc.mask_pixel_mult == 0.0
                        and (rc.softmax_sharpness,
                             rc.mask_sharpness) == (10.0, 15.0))
         t = normal = None
@@ -252,7 +253,9 @@ def make_device_step(
                     mask_sharpness=rc.mask_sharpness,
                     normal_eps=rc.normal_eps,
                     model_axis=model_axis,
-                    precomputed=culled_pre)
+                    precomputed=culled_pre,
+                    mask_pixel_mult=rc.mask_pixel_mult,
+                    pixel_angle=rc.pixel_angle)
             elif fused_shade:
                 from burn_raymarching_tpu.ops.pallas.shade_kernel import (
                     shade_fused,
@@ -270,7 +273,9 @@ def make_device_step(
                                     num_steps=rc.march_steps,
                                     softmax_sharpness=rc.softmax_sharpness,
                                     mask_sharpness=rc.mask_sharpness,
-                                    normal_eps=rc.normal_eps)
+                                    normal_eps=rc.normal_eps,
+                                    mask_pixel_mult=rc.mask_pixel_mult,
+                                    pixel_angle=rc.pixel_angle)
             return compute_loss(
                 p, out, tgt, progress, mask=mask, cfg=cfg.loss,
                 model_axis=model_axis,

@@ -47,6 +47,15 @@ EXPERIMENTS = {
                   "--gt-n", "400", "--init-n", "5120",
                   "--cull-budget", "2048", "--stages", "1",
                   "--steps", "1000"],
+    # Deeper schedules + greedy polish on the winning merge recipe.
+    "c5_deep": ["--out", "runs/c5_r2e", "--data", "runs/c5/data",
+                "--skip-ceiling", "--stages", "5", "--merge-cell", "0.04",
+                "--steps", "1000", "--polish", "2"],
+    "c4_deep": ["--out", "runs/c4_r2d", "--data", "runs/c4_r2/data",
+                "--skip-ceiling", "--views", "30", "--size", "512",
+                "--gt-n", "400", "--init-n", "5120",
+                "--cull-budget", "2048", "--stages", "5",
+                "--merge-cell", "0.04", "--steps", "1000", "--polish", "2"],
 }
 
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -84,6 +85,18 @@ def main(argv=None):
                    help="'points': the dataset's 2k-point cloud (sparse-SfM "
                    "analog); 'dense': resample the GT curve at init_n "
                    "(dense-SfM analog)")
+    p.add_argument("--mask-px", dest="mask_px", type=float, default=0.0,
+                   help="pixel-footprint-adaptive coverage multiplier "
+                   "(RenderConfig.mask_pixel_mult; 0 = reference fixed "
+                   "sigmoid). pixel_angle is derived from the dataset "
+                   "fov/height")
+    p.add_argument("--mask-sharp", dest="mask_sharp", type=float,
+                   default=60.0, help="coverage mask sharpness "
+                   "(world-space lower bound when --mask-px is set)")
+    p.add_argument("--polish", type=int, default=0, metavar="R",
+                   help="greedy post-final refinement rounds "
+                   "(Trainer.polish; kept only if train-view PSNR "
+                   "improves)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (JAX_PLATFORMS env is "
                    "unreliable under the axon site hook)")
@@ -153,7 +166,13 @@ def main(argv=None):
         min_smooth_k=128.0, max_smooth_k=128.0,
         lr_scale_centers=args.lr_centers, lr_scale_colors=1.0,
         lr_scale_radii=args.lr_radii, lr_scale_light=args.lr_light,
-        render=RenderConfig(softmax_sharpness=40.0, mask_sharpness=60.0),
+        render=RenderConfig(
+            softmax_sharpness=40.0, mask_sharpness=args.mask_sharp,
+            mask_pixel_mult=args.mask_px,
+            # Vertical per-pixel view angle of the generated rig (all its
+            # cameras share one fov).
+            pixel_angle=(2.0 * math.tan(math.radians(50.0 / 2))
+                         / args.size) if args.mask_px > 0 else 0.0),
         loss=LossConfig(repulsion_far_field=args.far_field),
         density=DensityConfig(merge_cell=args.merge_cell),
         cameras_json=os.path.join(data_dir, "cameras.json"),
@@ -176,6 +195,8 @@ def main(argv=None):
             march_normal_fn=trainer.march_normal_fn,
             softmax_sharpness=cfg.render.softmax_sharpness,
             mask_sharpness=cfg.render.mask_sharpness,
+            mask_pixel_mult=cfg.render.mask_pixel_mult,
+            pixel_angle=cfg.render.pixel_angle,
             cull=cull)["mean"]
 
     # Fixed result schema: every run emits the same keys (ceiling stays
@@ -212,6 +233,10 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     padded, mask = trainer.run()
+    if args.polish:
+        padded, mask = trainer.polish(padded, mask, rounds=args.polish,
+                                      cameras=cams, targets=tgts,
+                                      export=True)
     results["train_wall_s"] = round(time.perf_counter() - t0, 1)
     t0 = time.perf_counter()
     results["trained"] = psnr(padded, mask, trainer._cull_render())
@@ -227,7 +252,9 @@ def main(argv=None):
                    seed=args.seed, repulsion=not args.no_repulsion,
                    jitter=args.jitter, lr_centers=args.lr_centers,
                    prior=args.prior, cull_budget=args.cull_budget,
-                   sample_mode=args.sample_mode, hier=args.hier)
+                   sample_mode=args.sample_mode, hier=args.hier,
+                   mask_px=args.mask_px, mask_sharp=args.mask_sharp,
+                   polish=args.polish)
     with open(os.path.join(args.out, "results.json"), "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
