@@ -56,6 +56,26 @@ EXPERIMENTS = {
                 "--gt-n", "400", "--init-n", "5120",
                 "--cull-budget", "2048", "--stages", "5",
                 "--merge-cell", "0.04", "--steps", "1000", "--polish", "2"],
+    # Adaptive-coverage A/B at scale (vs c5_r2c's 25.93 / c4_r2's 26.10).
+    # At mask-sharp 60 the 1-px floor sits BELOW the 1/60 world-space
+    # floor at these scene depths, so c5_px/c4_px are *floor-inactive*
+    # consistency checks — measured: c5_px reproduces the fixed-mask run
+    # bit-identically (25.928929622808745 dB), validating the plumbing.
+    "c5_px": ["--out", "runs/c5_px", "--data", "runs/c5/data",
+              "--skip-ceiling", "--stages", "3", "--merge-cell", "0.04",
+              "--steps", "1000", "--mask-px", "1.0"],
+    # The ACTIVE A/B: world-space cap raised 4x; the px floor then
+    # dominates at t > ~1.2 and keeps far silhouettes ~1 px soft.
+    "c5_px_sharp": ["--out", "runs/c5_px_sharp", "--data", "runs/c5/data",
+                    "--skip-ceiling", "--stages", "3",
+                    "--merge-cell", "0.04", "--steps", "1000",
+                    "--mask-px", "1.0", "--mask-sharp", "240"],
+    "c4_px": ["--out", "runs/c4_px", "--data", "runs/c4_r2/data",
+              "--skip-ceiling", "--views", "30", "--size", "512",
+              "--gt-n", "400", "--init-n", "5120",
+              "--cull-budget", "2048", "--stages", "3",
+              "--merge-cell", "0.04", "--steps", "1000",
+              "--mask-px", "1.0"],
 }
 
 
