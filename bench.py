@@ -175,6 +175,33 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(best / rays_xla, 3),
     }))
+    if on_tpu:
+        check_regression(best)
+
+
+def check_regression(value: float, tolerance: float = 0.90):
+    """Regression guard (VERDICT r2 item 7): compare against the newest
+    committed BENCH_r*.json and fail loudly below tolerance x previous.
+    The JSON line is already printed, so the driver's record is intact
+    either way; the nonzero exit is the round-level tripwire."""
+    import glob
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    records = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not records:
+        return
+    with open(records[-1]) as f:
+        prev = json.load(f).get("parsed", {}).get("value")
+    if not prev:
+        return
+    if value < tolerance * prev:
+        print(f"BENCH REGRESSION: {value:,.0f} rays/s < {tolerance:.0%} of "
+              f"committed {prev:,.0f} ({os.path.basename(records[-1])})",
+              file=sys.stderr)
+        sys.exit(2)
+    print(f"bench guard ok: {value:,.0f} vs committed {prev:,.0f} "
+          f"({os.path.basename(records[-1])})", file=sys.stderr)
 
 
 if __name__ == "__main__":

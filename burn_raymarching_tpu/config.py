@@ -38,6 +38,15 @@ class RenderConfig:
     # (scripts/run_c5.py --mask-px does this automatically).
     mask_pixel_mult: float = 0.0
     pixel_angle: float = 0.0
+    # Coverage FAMILY: "sigmoid" = the reference's trainable silhouette
+    # sigmoid(-mask_sharpness*d) (renderer_diff.rs:86-90). "gaussian" =
+    # exp(-mask_sharpness*d^2), the GT renderer's own mask family
+    # (renderer.rs:77) — the reference trains a sigmoid against
+    # Gaussian-masked targets and that mismatch is baked into the measured
+    # representational ceilings at configs 4-5 (docs/SCALING.md). Opt-in;
+    # gradient topology is unchanged (coverage is still a function of the
+    # reattached scene distance only).
+    coverage_mode: str = "sigmoid"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,6 +86,23 @@ class DensityConfig:
     split_move_dist: float = 0.05        # move^2 > 0.05^2 (training.rs:188)
     split_child_radius_scale: float = 0.8  # (training.rs:203)
     split_child_min_radius: float = 0.01
+    # --- Scale-aware split (TPU-native extension, default OFF) ---
+    # The reference's absolute split threshold (0.25*0.65^stage,
+    # training.rs:187) never fires on prior-seeded compact clouds (radii
+    # ~0.02-0.1), so density control can only SHRINK configs 4-5 — the
+    # grow-by-splitting dynamic is dead exactly where the committed runs sit
+    # below their ceiling (VERDICT r2). split_mode="residual" replaces the
+    # radius/move criterion with residual attribution through the compositor
+    # weights (train/residual.py): at each boundary the rules run
+    # prune → overlap-merge → split the top-``split_budget`` scorers
+    # (merge BEFORE split so fresh children are not immediately re-merged;
+    # the reference mode keeps its committed split-then-merge order).
+    # split_budget 0 = auto (split_frac of the kept rows).
+    split_mode: str = "reference"    # "reference" | "residual"
+    split_budget: int = 0
+    split_frac: float = 0.25
+    # Pixel subsample for the boundary scoring pass (train/residual.py).
+    split_score_pixels: int = 1 << 21
     # TPU-native extension (no reference counterpart; default OFF): merge
     # primitives sharing a Morton grid cell of this size at stage
     # boundaries. Prior-seeded 50k clouds stack ~25 primitives per SfM
@@ -123,6 +149,13 @@ class TrainConfig:
     lr_scale_colors: float = 1.0
     lr_scale_radii: float = 1.0
     lr_scale_light: float = 1.0
+    # Per-STAGE override of lr_scale_centers (empty = constant). The
+    # committed compact-cloud recipes choose lr_scale_centers for the
+    # ~25-deep stacked init; after the stage-1 overlap merge collapses the
+    # cloud ~20x the same rate may be far from optimal — this lets the
+    # post-merge stages re-tune geometry lr without a second driver. Values
+    # index by stage (clamped at the end, so polish inherits the last one).
+    lr_scale_centers_stages: tuple = ()
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-5           # Burn AdamConfig default epsilon

@@ -38,11 +38,19 @@ def load_cameras(path: str) -> list[dict]:
         assert {"file", "origin", "target", "fov"} <= set(c), c
         fp = c["file"]
         if not os.path.isabs(fp) and not os.path.exists(fp):
-            for cand in (os.path.join(root, fp),
-                         os.path.join(json_dir, os.path.basename(fp))):
+            cands = (os.path.join(root, fp),
+                     os.path.join(json_dir, os.path.basename(fp)))
+            for cand in cands:
                 if os.path.exists(cand):
                     c["file"] = cand
                     break
+            else:
+                # Fail at load time with the full candidate list instead of
+                # a cwd-dependent FileNotFoundError later (ADVICE r2).
+                raise FileNotFoundError(
+                    f"cameras.json entry {fp!r} not found; tried "
+                    f"{fp!r} (cwd {os.getcwd()!r}), " +
+                    ", ".join(repr(x) for x in cands))
     return cams
 
 

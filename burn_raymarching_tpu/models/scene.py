@@ -92,6 +92,7 @@ def scene_forward(
     normal_eps: float = 1e-4,
     mask_pixel_mult: float = 0.0,
     pixel_angle: float = 0.0,
+    coverage_mode: str = "sigmoid",
 ) -> jax.Array:
     """Full forward: activations + differentiable render → [N, 3].
 
@@ -107,7 +108,7 @@ def scene_forward(
         march_normal_fn=march_normal_fn, num_steps=num_steps,
         softmax_sharpness=softmax_sharpness, mask_sharpness=mask_sharpness,
         normal_eps=normal_eps, mask_pixel_mult=mask_pixel_mult,
-        pixel_angle=pixel_angle,
+        pixel_angle=pixel_angle, coverage_mode=coverage_mode,
     )
 
 

@@ -249,11 +249,12 @@ def make_sharded_chunk_runner(
         out_specs=(P(), pspec, P("data"), P()),
         check_vma=False,
     )
-    lr_scales = lr_scale_tree(cfg)
 
     @jax.jit
     def run_chunk(params, opt_state, key, mask, packed, fgi, nfg, t_cache,
                   stage, step0, cl_idx, cl_valid):
+        lr_scales = lr_scale_tree(cfg, stage)
+
         def one_step(carry, i):
             params, opt_state, t_cache = carry
             k = jax.random.fold_in(key, i)

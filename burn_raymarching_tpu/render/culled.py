@@ -142,6 +142,7 @@ def render_diff_culled(
     precomputed=None,
     mask_pixel_mult: float = 0.0,
     pixel_angle: float = 0.0,
+    coverage_mode: str = "sigmoid",
 ) -> jax.Array:
     """Culled differentiable render → [N, 3]. N must divide by ``tile``.
 
@@ -267,6 +268,7 @@ def render_diff_culled(
     dist_scene = _tile_soft_min(p_final, centers_t, radii_t, c_sq_t, smooth_k,
                                 model_axis=model_axis)
     coverage = adaptive_coverage(dist_scene, t_final, mask_sharpness,
-                                 mask_pixel_mult, pixel_angle)
+                                 mask_pixel_mult, pixel_angle,
+                                 coverage_mode=coverage_mode)
 
     return (object_color * coverage).reshape(n, 3)

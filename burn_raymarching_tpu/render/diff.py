@@ -34,7 +34,8 @@ from burn_raymarching_tpu.ops.sdf import (
 
 
 def adaptive_coverage(dist_scene, t_final, mask_sharpness,
-                      mask_pixel_mult=0.0, pixel_angle=0.0):
+                      mask_pixel_mult=0.0, pixel_angle=0.0,
+                      coverage_mode: str = "sigmoid"):
     """Coverage mask, optionally pixel-footprint-adaptive.
 
     Default (mask_pixel_mult == 0): the reference's fixed
@@ -50,7 +51,28 @@ def adaptive_coverage(dist_scene, t_final, mask_sharpness,
     (the footprint is geometry metadata, not a gradient path). Missed rays
     are safe: their scene distance grows ~linearly with t, so d/w tends to
     the constant 1/(mask_pixel_mult*pixel_angle) >> 1 and coverage -> 0.
+
+    ``coverage_mode="gaussian"`` (TPU-native extension, RenderConfig)
+    replaces the sigmoid FAMILY with the GT renderer's Gaussian
+    exp(-mask_sharpness * d^2) (reference renderer.rs:77) — the reference
+    trains a sigmoid silhouette against Gaussian-masked targets
+    (renderer_diff.rs:86-90 vs renderer.rs:77), and that family mismatch is
+    baked into the measured representational ceilings (docs/SCALING.md).
+    In Gaussian mode ``mask_sharpness`` is the Gaussian's s (width
+    1/sqrt(s)); the pixel floor composes as
+        w(t) = max(1/sqrt(s), mask_pixel_mult * pixel_angle * t),
+        coverage = exp(-(d/w)^2).
     """
+    if coverage_mode == "gaussian":
+        if mask_pixel_mult <= 0.0 or pixel_angle <= 0.0:
+            return jnp.exp(dist_scene * dist_scene * (-mask_sharpness))
+        rho = jax.lax.stop_gradient(t_final) * pixel_angle
+        w = jnp.maximum(jax.lax.rsqrt(jnp.float32(mask_sharpness)),
+                        mask_pixel_mult * rho)
+        z = dist_scene / w
+        return jnp.exp(-(z * z))
+    if coverage_mode != "sigmoid":
+        raise ValueError(f"unknown coverage_mode: {coverage_mode!r}")
     if mask_pixel_mult <= 0.0 or pixel_angle <= 0.0:
         return jax.nn.sigmoid(dist_scene * (-mask_sharpness))
     rho = jax.lax.stop_gradient(t_final) * pixel_angle
@@ -77,6 +99,7 @@ def render_diff(
     march_normal_fn=None,
     mask_pixel_mult: float = 0.0,
     pixel_angle: float = 0.0,
+    coverage_mode: str = "sigmoid",
 ) -> jax.Array:
     """Render a batch of rays → [N, 3] linear RGB.
 
@@ -155,6 +178,7 @@ def render_diff(
     dist_scene = scene_sdf(p_final, centers, radii, smooth_k, mask=mask,
                            model_axis=model_axis)
     coverage = adaptive_coverage(dist_scene, t_final, mask_sharpness,
-                                 mask_pixel_mult, pixel_angle)
+                                 mask_pixel_mult, pixel_angle,
+                                 coverage_mode=coverage_mode)
 
     return object_color * coverage

@@ -30,6 +30,7 @@ def render_gt(
     ambient: float = 0.1,
     weight_sharpness: float = 10.0,
     mask_sharpness: float = 10.0,
+    hard_mask: bool = False,
 ) -> jax.Array:
     """Non-differentiable raymarcher → [N, 3] linear RGB.
 
@@ -63,5 +64,12 @@ def render_gt(
 
     dist_scene = scene_sdf(p_final, centers, radii, smooth_k, mask=mask)
     coverage = jnp.exp(dist_scene * dist_scene * (-mask_sharpness))
+    if hard_mask:
+        # Binary silhouette (TPU-repo extension): thresholds the Gaussian
+        # at 1/2, i.e. covered iff |d| < sqrt(ln 2 / s). Real-photo
+        # captures (chromakeyed frames, chromakey.rs) have exactly this
+        # hard-edge statistic — the intended domain of the
+        # pixel-footprint-adaptive trainable mask (mask_pixel_mult).
+        coverage = (coverage > 0.5).astype(coverage.dtype)
 
     return object_color * coverage

@@ -44,11 +44,13 @@ class CullRender:
 
 @partial(jax.jit, static_argnames=("march_fn", "march_normal_fn",
                                    "softmax_sharpness", "mask_sharpness",
-                                   "cull", "mask_pixel_mult", "pixel_angle"))
+                                   "cull", "mask_pixel_mult", "pixel_angle",
+                                   "coverage_mode"))
 def _forward_chunks(params, ro3, rd3, smooth_k, mask, march_fn,
                     march_normal_fn, softmax_sharpness=10.0,
                     mask_sharpness=15.0, cull=None, clusters=None,
-                    mask_pixel_mult=0.0, pixel_angle=0.0):
+                    mask_pixel_mult=0.0, pixel_angle=0.0,
+                    coverage_mode="sigmoid"):
     """[K, chunk, 3] rays → [K, chunk, 3] colors, one device program."""
 
     def one(args):
@@ -64,14 +66,16 @@ def _forward_chunks(params, ro3, rd3, smooth_k, mask, march_fn,
                 softmax_sharpness=softmax_sharpness,
                 mask_sharpness=mask_sharpness,
                 march_normal_fn=cull.march_normal_fn,
-                mask_pixel_mult=mask_pixel_mult, pixel_angle=pixel_angle)
+                mask_pixel_mult=mask_pixel_mult, pixel_angle=pixel_angle,
+                coverage_mode=coverage_mode)
         return scene_forward(params, ro, rd, smooth_k, mask=mask,
                              march_fn=march_fn,
                              march_normal_fn=march_normal_fn,
                              softmax_sharpness=softmax_sharpness,
                              mask_sharpness=mask_sharpness,
                              mask_pixel_mult=mask_pixel_mult,
-                             pixel_angle=pixel_angle)
+                             pixel_angle=pixel_angle,
+                             coverage_mode=coverage_mode)
 
     return jax.lax.map(one, (ro3, rd3))
 
@@ -92,6 +96,7 @@ def render_tiled(
     order_wh: Optional[tuple[int, int]] = None,
     mask_pixel_mult: float = 0.0,
     pixel_angle: float = 0.0,
+    coverage_mode: str = "sigmoid",
 ) -> np.ndarray:
     """Render [P, 3] rays in fixed-size chunks → np.float32 [P, 3].
 
@@ -144,6 +149,7 @@ def render_tiled(
                           mask_sharpness=mask_sharpness,
                           cull=cull, clusters=clusters,
                           mask_pixel_mult=mask_pixel_mult,
-                          pixel_angle=pixel_angle)
+                          pixel_angle=pixel_angle,
+                          coverage_mode=coverage_mode)
     img = np.asarray(out).reshape(k * chunk, 3)[:n]
     return img[inv] if inv is not None else img

@@ -111,6 +111,11 @@ def main(argv=None):
                         help="GT compositor exp(-s*d) and mask exp(-s*d^2) "
                              "sharpness (reference uses 10; fine structures "
                              "need more or the targets themselves halo)")
+    parser.add_argument("--gt-hard-mask", dest="gt_hard_mask",
+                        action="store_true",
+                        help="binary silhouette targets (Gaussian mask "
+                             "thresholded at 1/2) — the hard-edge statistic "
+                             "of chromakeyed real captures")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -143,7 +148,7 @@ def main(argv=None):
 
     render = jax.jit(functools.partial(
         render_gt, smooth_k=args.gt_k, weight_sharpness=args.gt_sharp,
-        mask_sharpness=args.gt_sharp))
+        mask_sharpness=args.gt_sharp, hard_mask=args.gt_hard_mask))
     for cam in cams:
         print(f"  -> Rendering {cam['file']}")
         ro, rd = create_camera_rays(args.size, args.size, cam["origin"],

@@ -46,6 +46,7 @@ def evaluate_views(
     clusters=None,
     mask_pixel_mult: float = 0.0,
     pixel_angle: float = 0.0,
+    coverage_mode: str = "sigmoid",
 ) -> dict:
     """Render every camera with the training forward model and compare.
 
@@ -65,7 +66,8 @@ def evaluate_views(
                            cull=cull, clusters=clusters,
                            order_wh=(width, height),
                            mask_pixel_mult=mask_pixel_mult,
-                           pixel_angle=pixel_angle)
+                           pixel_angle=pixel_angle,
+                           coverage_mode=coverage_mode)
         per_view.append(psnr_u8(encode_u8(img), encode_u8(np.asarray(tgt))))
     return {
         "per_view": per_view,

@@ -227,11 +227,12 @@ class Trainer:
             culled_march_fn=self.culled_march_normal_fn,
             repulsion_fn=self.repulsion_fn,
             batch=cfg.batch_size, warm=self.warm)
-        lr_scales = lr_scale_tree(cfg)
 
         @jax.jit
         def run_chunk(params, opt_state, key, mask, packed, fg_indices, n_fg,
                       t_cache, stage, step0, cl_member_idx, cl_member_valid):
+            lr_scales = lr_scale_tree(cfg, stage)
+
             def one_step(carry, i):
                 params, opt_state, t_cache = carry
                 k = jax.random.fold_in(key, i)
@@ -366,7 +367,8 @@ class Trainer:
                 mask_sharpness=cfg.render.mask_sharpness,
                 cull=self._cull_render(),
                 mask_pixel_mult=cfg.render.mask_pixel_mult,
-                pixel_angle=cfg.render.pixel_angle)["mean"]
+                pixel_angle=cfg.render.pixel_angle,
+                coverage_mode=cfg.render.coverage_mode)["mean"]
 
         best_psnr = psnr(padded, mask)
         self.log(f"Polish baseline: PSNR {best_psnr:.2f}")
@@ -496,7 +498,8 @@ class Trainer:
                            cull=self._cull_render(),
                            order_wh=(cfg.width, cfg.height),
                            mask_pixel_mult=cfg.render.mask_pixel_mult,
-                           pixel_angle=cfg.render.pixel_angle)
+                           pixel_angle=cfg.render.pixel_angle,
+                           coverage_mode=cfg.render.coverage_mode)
         save_array_as_image(img, cfg.width, cfg.height, path)
         self.log(f"Saved image to {path}")
 
@@ -603,12 +606,30 @@ class Trainer:
                               os.path.join(cfg.steps_dir, f"stage_{stage}.png"))
 
             unpadded = self._unpad(padded, params.n)
+            split_scores = None
+            if cfg.density.split_mode == "residual":
+                # Scale-aware growth signal: residual attribution through
+                # the compositor weights (train/residual.py). Scored on the
+                # padded params; live rows are the first n by construction.
+                from burn_raymarching_tpu.train.residual import (
+                    primitive_residual_scores,
+                )
+
+                if not cfg.use_culling:
+                    raise ValueError('split_mode="residual" requires '
+                                     'use_culling (it exists for the '
+                                     'compact-cloud configs)')
+                k_end = anneal_for_step(cfg, stage, cfg.steps_per_stage)[1]
+                split_scores = primitive_residual_scores(
+                    padded, mask, self.dataset, cfg, k_end,
+                    kern=self.culled_march_normal_fn)[:params.n]
             centers, colors, radii, stats = prune_and_split(
                 np.asarray(unpadded.centers),
                 np.asarray(unpadded.colors),
                 np.asarray(unpadded.radii),
                 stage_init_centers,
                 stage, cfg.stages, rng, cfg.density,
+                split_scores=split_scores,
             )
             params = SceneParams(
                 centers=jnp.asarray(centers),

@@ -39,10 +39,21 @@ from burn_raymarching_tpu.models.scene import (
 from burn_raymarching_tpu.train.loss import compute_loss
 
 
-def lr_scale_tree(cfg: TrainConfig) -> SceneParams:
-    """Per-parameter-group LR multipliers as a params-shaped pytree."""
+def lr_scale_tree(cfg: TrainConfig, stage=None) -> SceneParams:
+    """Per-parameter-group LR multipliers as a params-shaped pytree.
+
+    With ``stage`` (a traced int32) and a non-empty
+    cfg.lr_scale_centers_stages, the centers multiplier is stage-indexed
+    in-graph (clamped to the last entry, so polish's past-the-end stage
+    keeps the final value) — the post-merge lr re-tune lever.
+    """
+    centers = cfg.lr_scale_centers
+    if stage is not None and cfg.lr_scale_centers_stages:
+        sched = jnp.asarray(cfg.lr_scale_centers_stages, jnp.float32)
+        centers = sched[jnp.minimum(stage, len(cfg.lr_scale_centers_stages)
+                                    - 1)]
     return SceneParams(
-        centers=cfg.lr_scale_centers, colors=cfg.lr_scale_colors,
+        centers=centers, colors=cfg.lr_scale_colors,
         radii=cfg.lr_scale_radii, light_dir=cfg.lr_scale_light,
         ambient=cfg.lr_scale_light)
 
@@ -159,6 +170,7 @@ def make_device_step(
                        and not cfg.use_culling
                        and model_axis is None
                        and rc.mask_pixel_mult == 0.0
+                       and rc.coverage_mode == "sigmoid"
                        and (rc.softmax_sharpness,
                             rc.mask_sharpness) == (10.0, 15.0))
         t = normal = None
@@ -255,7 +267,8 @@ def make_device_step(
                     model_axis=model_axis,
                     precomputed=culled_pre,
                     mask_pixel_mult=rc.mask_pixel_mult,
-                    pixel_angle=rc.pixel_angle)
+                    pixel_angle=rc.pixel_angle,
+                    coverage_mode=rc.coverage_mode)
             elif fused_shade:
                 from burn_raymarching_tpu.ops.pallas.shade_kernel import (
                     shade_fused,
@@ -275,7 +288,8 @@ def make_device_step(
                                     mask_sharpness=rc.mask_sharpness,
                                     normal_eps=rc.normal_eps,
                                     mask_pixel_mult=rc.mask_pixel_mult,
-                                    pixel_angle=rc.pixel_angle)
+                                    pixel_angle=rc.pixel_angle,
+                                    coverage_mode=rc.coverage_mode)
             return compute_loss(
                 p, out, tgt, progress, mask=mask, cfg=cfg.loss,
                 model_axis=model_axis,

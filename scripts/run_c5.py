@@ -92,7 +92,32 @@ def main(argv=None):
                    "fov/height")
     p.add_argument("--mask-sharp", dest="mask_sharp", type=float,
                    default=60.0, help="coverage mask sharpness "
-                   "(world-space lower bound when --mask-px is set)")
+                   "(world-space lower bound when --mask-px is set; the "
+                   "Gaussian s when --coverage gaussian)")
+    p.add_argument("--coverage", default="sigmoid",
+                   choices=["sigmoid", "gaussian"],
+                   help="trainable coverage family "
+                   "(RenderConfig.coverage_mode): 'gaussian' matches the "
+                   "GT mask exp(-s*d^2) (renderer.rs:77) instead of the "
+                   "reference's sigmoid silhouette")
+    p.add_argument("--split-mode", dest="split_mode", default="reference",
+                   choices=["reference", "residual"],
+                   help="'residual': scale-aware split driven by "
+                   "compositor-weight residual attribution "
+                   "(train/residual.py) — the reference's absolute radius "
+                   "threshold never fires on compact clouds")
+    p.add_argument("--split-budget", dest="split_budget", type=int,
+                   default=0, help="max residual splits per boundary "
+                   "(0 = split_frac of kept rows)")
+    p.add_argument("--split-frac", dest="split_frac", type=float,
+                   default=0.25)
+    p.add_argument("--lr-centers-stages", dest="lr_centers_stages",
+                   default="", help="comma list overriding lr_scale_centers "
+                   "per stage (post-merge lr re-tune), e.g. 0.001,0.01,0.01")
+    p.add_argument("--ceiling-only", dest="ceiling_only",
+                   action="store_true",
+                   help="measure the representational ceiling with the "
+                   "committed evaluator and exit (results hygiene)")
     p.add_argument("--polish", type=int, default=0, metavar="R",
                    help="greedy post-final refinement rounds "
                    "(Trainer.polish; kept only if train-view PSNR "
@@ -149,6 +174,16 @@ def main(argv=None):
             json.dump({"points": np.asarray(dense_c).reshape(-1).tolist()},
                       f)
 
+    # Load the rig FIRST: pixel_angle derives from the dataset's own fov
+    # (ADVICE r2 — a non-default-fov capture must not inherit the
+    # generator's 50°).
+    cameras_json = os.path.join(data_dir, "cameras.json")
+    cams = load_cameras(cameras_json)
+    fov = float(cams[0]["fov"])
+    lr_centers_stages = (tuple(float(x) for x in
+                               args.lr_centers_stages.split(","))
+                         if args.lr_centers_stages else ())
+
     cfg = TrainConfig(
         batch_size=args.batch,
         width=args.size, height=args.size,
@@ -166,21 +201,24 @@ def main(argv=None):
         min_smooth_k=128.0, max_smooth_k=128.0,
         lr_scale_centers=args.lr_centers, lr_scale_colors=1.0,
         lr_scale_radii=args.lr_radii, lr_scale_light=args.lr_light,
+        lr_scale_centers_stages=lr_centers_stages,
         render=RenderConfig(
             softmax_sharpness=40.0, mask_sharpness=args.mask_sharp,
             mask_pixel_mult=args.mask_px,
-            # Vertical per-pixel view angle of the generated rig (all its
+            coverage_mode=args.coverage,
+            # Vertical per-pixel view angle of the dataset's rig (all its
             # cameras share one fov).
-            pixel_angle=(2.0 * math.tan(math.radians(50.0 / 2))
+            pixel_angle=(2.0 * math.tan(math.radians(fov / 2))
                          / args.size) if args.mask_px > 0 else 0.0),
         loss=LossConfig(repulsion_far_field=args.far_field),
-        density=DensityConfig(merge_cell=args.merge_cell),
-        cameras_json=os.path.join(data_dir, "cameras.json"),
+        density=DensityConfig(merge_cell=args.merge_cell,
+                              split_mode=args.split_mode,
+                              split_budget=args.split_budget,
+                              split_frac=args.split_frac),
+        cameras_json=cameras_json,
         scene_json=os.path.join(args.out, "scene_c5.json"),
         steps_dir=os.path.join(args.out, "steps"),
     )
-
-    cams = load_cameras(cfg.cameras_json)
     tgts = [load_image_as_array(c["file"]) for c in cams]
     dataset = build_dataset(cfg)
     print(f"Total training pixels: {dataset.num_total_pixels} "
@@ -197,6 +235,7 @@ def main(argv=None):
             mask_sharpness=cfg.render.mask_sharpness,
             mask_pixel_mult=cfg.render.mask_pixel_mult,
             pixel_angle=cfg.render.pixel_angle,
+            coverage_mode=cfg.render.coverage_mode,
             cull=cull)["mean"]
 
     # Fixed result schema: every run emits the same keys (ceiling stays
@@ -216,6 +255,21 @@ def main(argv=None):
         print(f"ceiling (GT through trainable forward): "
               f"{results['ceiling']:.2f} dB "
               f"[{time.perf_counter() - t0:.0f}s]")
+
+    if args.ceiling_only:
+        # Results hygiene: update an existing results.json's ceiling (the
+        # one-methodology re-measure) or write a fresh schema-complete one.
+        path = os.path.join(args.out, "results.json")
+        prev = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                prev = json.load(f)
+        prev.update(ceiling=results["ceiling"], coverage=args.coverage,
+                    ceiling_evaluator="scripts/run_c5.py --ceiling-only")
+        with open(path, "w") as f:
+            json.dump(prev, f, indent=1)
+        print(json.dumps(prev))
+        return
 
     import numpy as np
 
@@ -254,7 +308,12 @@ def main(argv=None):
                    prior=args.prior, cull_budget=args.cull_budget,
                    sample_mode=args.sample_mode, hier=args.hier,
                    mask_px=args.mask_px, mask_sharp=args.mask_sharp,
-                   polish=args.polish)
+                   polish=args.polish, coverage=args.coverage,
+                   split_mode=args.split_mode,
+                   split_budget=args.split_budget,
+                   split_frac=args.split_frac,
+                   lr_centers_stages=list(lr_centers_stages),
+                   n_final=int(np.asarray(mask).sum()))
     with open(os.path.join(args.out, "results.json"), "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))

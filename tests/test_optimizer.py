@@ -166,3 +166,50 @@ def test_lr_scale_zero_freezes_group(reference_dir):
     # Other groups did move.
     assert np.abs(np.asarray(padded.colors)
                   - np.asarray(padded0.colors)).max() > 1e-5
+
+
+def test_lr_scale_centers_stage_schedule(reference_dir):
+    """lr_scale_centers_stages indexes by stage in-graph: a (1.0, 0.0)
+    schedule moves centers in stage 0 and freezes them in stage 1 (and the
+    clamp holds past the end)."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from burn_raymarching_tpu.config import TrainConfig
+    from burn_raymarching_tpu.models.scene import init_scene_params
+    from burn_raymarching_tpu.train.loop import Trainer, build_dataset
+    from burn_raymarching_tpu.train.step_body import lr_scale_tree
+
+    cfg = TrainConfig(
+        batch_size=256, stages=2, steps_per_stage=10, steps_per_call=10,
+        use_pallas=False, checkpoint_dir=None,
+        lr_scale_centers=123.0,     # must be ignored once the schedule is set
+        lr_scale_centers_stages=(1.0, 0.0),
+        cameras_json=os.path.join(reference_dir, "data/cameras.json"),
+    )
+    # In-graph values, incl. the past-the-end clamp polish relies on.
+    import jax.numpy as jnp
+
+    for stage, want in [(0, 1.0), (1, 0.0), (5, 0.0)]:
+        tree = lr_scale_tree(cfg, jnp.asarray(stage, jnp.int32))
+        assert float(tree.centers) == want
+    assert lr_scale_tree(cfg, None).centers == 123.0
+
+    cwd = os.getcwd()
+    os.chdir(reference_dir)
+    try:
+        ds = build_dataset(cfg)
+    finally:
+        os.chdir(cwd)
+    tr = Trainer(cfg, ds, log=lambda s: None)
+    params = init_scene_params(cfg.init_n)
+    p0 = np.asarray(params.centers)
+    padded, mask, _ = tr.run_stage(params, 0, jax.random.PRNGKey(0))
+    moved = np.asarray(padded.centers)[: cfg.init_n]
+    assert np.abs(moved - p0).max() > 1e-6
+    padded2, mask2, _ = tr.run_stage(
+        tr._unpad(padded, cfg.init_n), 1, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(padded2.centers)[: cfg.init_n],
+                                  moved)
