@@ -125,6 +125,10 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (JAX_PLATFORMS env is "
                    "unreliable under the axon site hook)")
+    p.add_argument("--distributed", action="store_true",
+                   help="run the SHARDED driver (DistributedTrainer on a "
+                   "(data=1, model=1) mesh) instead of Trainer — the "
+                   "on-hardware driver-parity check (VERDICT r2 item 3)")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -223,7 +227,14 @@ def main(argv=None):
     dataset = build_dataset(cfg)
     print(f"Total training pixels: {dataset.num_total_pixels} "
           f"(fg {dataset.num_fg})")
-    trainer = Trainer(cfg, dataset)
+    if args.distributed:
+        from burn_raymarching_tpu.parallel.distributed import (
+            DistributedTrainer,
+        )
+
+        trainer = DistributedTrainer(cfg, dataset, data=1, model=1)
+    else:
+        trainer = Trainer(cfg, dataset)
 
     def psnr(padded, mask, cull):
         return evaluate_views(
