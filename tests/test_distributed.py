@@ -123,3 +123,27 @@ def test_distributed_five_stage_density_soak(tiny_dataset):
     # The 0.4-cell merge must have collapsed some of the 24-point cloud
     # (extent 0.8) — N actually changed across a boundary.
     assert 0 < live < 24
+
+
+def test_distributed_residual_split_grows(tiny_dataset):
+    """Scale-aware split under the sharded driver: the boundary scoring
+    pass (train/residual.py) runs on the ShardedRayDataset's base arrays
+    and splits fire — N grows across the boundary on a mesh. Smoke-length
+    (CPU collective rendezvous limit)."""
+    from burn_raymarching_tpu.config import DensityConfig
+
+    cfg = TrainConfig(
+        batch_size=128, stages=2, steps_per_stage=4,
+        use_pallas=False, checkpoint_dir=None,
+        use_culling=True, cull_tile=16, cull_budget=8,
+        sample_mode="tile", dataset_order="morton",
+        init_n=12, init_layout="cloud",
+        weight_decay_mode="decoupled",
+        density=DensityConfig(split_mode="residual", split_budget=4))
+    tr = DistributedTrainer(cfg, tiny_dataset, data=4, model=2,
+                            log=lambda s: None)
+    padded, mask = tr.run()
+    n_final = int(np.asarray(mask).sum())
+    assert n_final > 12
+    for leaf in [padded.centers, padded.colors, padded.radii]:
+        assert np.isfinite(np.asarray(leaf)).all()
