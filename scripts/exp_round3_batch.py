@@ -70,6 +70,23 @@ EXPERIMENTS = {
                                    "--mask-sharp", "40"],
 }
 
+# Deep schedules under the Gaussian forward: round 2's "deeper saturates"
+# negative was measured against the 28.5/29.2 sigmoid ceilings; the
+# Gaussian ceilings (48.1/47.6) leave ~20 dB of headroom, so depth is
+# worth re-testing. (At c5 the Gaussian init starts 2.7 dB lower — the
+# stacked init's inflated blobs sit INSIDE the Gaussian mask — and 3x1000
+# was not enough to pass the sigmoid recipe: 25.69 vs 25.93.)
+EXPERIMENTS["c4_gauss_deep"] = C4 + [
+    "--out", "runs/c4_gauss_deep", "--data", "runs/c4_r2/data",
+    "--skip-ceiling", "--stages", "5", "--merge-cell", "0.04",
+    "--steps", "1000", "--polish", "2",
+    "--coverage", "gaussian", "--mask-sharp", "40"]
+EXPERIMENTS["c5_gauss_deep"] = [
+    "--out", "runs/c5_gauss_deep", "--data", "runs/c5/data",
+    "--skip-ceiling", "--stages", "5", "--merge-cell", "0.04",
+    "--steps", "1000", "--polish", "2",
+    "--coverage", "gaussian", "--mask-sharp", "40"]
+
 # Hard-silhouette A/B (generate --gt-hard-mask): binary-mask targets, the
 # chromakeyed-capture statistic mask_pixel_mult was built for. Fixed mask
 # (the committed default) vs sharp world cap + 1-px adaptive floor.
@@ -80,6 +97,9 @@ HARD = ["--views", "30", "--size", "512", "--gt-n", "400",
 EXPERIMENTS["c4h_base"] = HARD + ["--out", "runs/c4h_base"]
 EXPERIMENTS["c4h_px"] = HARD + ["--out", "runs/c4h_px",
                                 "--mask-px", "1.0", "--mask-sharp", "240"]
+# Control separating the two factors in c4h_px: sharp world cap, NO floor.
+EXPERIMENTS["c4h_sharp"] = HARD + ["--out", "runs/c4h_sharp",
+                                   "--mask-sharp", "240"]
 
 
 def ensure_hard_dataset():
