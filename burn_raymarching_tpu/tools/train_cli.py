@@ -60,16 +60,36 @@ def build_config(args) -> "TrainConfig":
     if args.smooth_k:
         overrides["min_smooth_k"] = args.smooth_k
         overrides["max_smooth_k"] = args.smooth_k
+    render_kw = {}
     if args.sharp:
+        soft, mask = (float(v) for v in args.sharp.split(","))
+        render_kw.update(softmax_sharpness=soft, mask_sharpness=mask)
+    if getattr(args, "coverage", None):
+        render_kw["coverage_mode"] = args.coverage
+    if getattr(args, "mask_px", 0.0):
+        render_kw.update(mask_pixel_mult=args.mask_px,
+                         pixel_angle=args.pixel_angle)
+    if render_kw:
         from burn_raymarching_tpu.config import RenderConfig
 
-        soft, mask = (float(v) for v in args.sharp.split(","))
-        overrides["render"] = RenderConfig(softmax_sharpness=soft,
-                                           mask_sharpness=mask)
+        overrides["render"] = RenderConfig(**render_kw)
+    density_kw = {}
+    if getattr(args, "merge_cell", 0.0):
+        density_kw["merge_cell"] = args.merge_cell
+    if getattr(args, "split_mode", None):
+        density_kw.update(split_mode=args.split_mode,
+                          split_budget=args.split_budget)
+    if density_kw:
+        from burn_raymarching_tpu.config import DensityConfig
+
+        overrides["density"] = DensityConfig(**density_kw)
     if args.lr_scales:
         c, col, r, l = (float(v) for v in args.lr_scales.split(","))
         overrides.update(lr_scale_centers=c, lr_scale_colors=col,
                          lr_scale_radii=r, lr_scale_light=l)
+    if getattr(args, "lr_centers_stages", ""):
+        overrides["lr_scale_centers_stages"] = tuple(
+            float(v) for v in args.lr_centers_stages.split(","))
     return TrainConfig(**overrides)
 
 
@@ -166,6 +186,40 @@ def main(argv=None):
                              "member (default, member→centroid) or monopole "
                              "(centroid↔centroid — ~0.7 ms/step cheaper at "
                              "M=51k, one more approximation order)")
+    parser.add_argument("--coverage", default="",
+                        choices=["", "sigmoid", "gaussian"],
+                        help="trainable coverage family: gaussian = the GT "
+                             "mask exp(-s*d^2) (renderer.rs:77) — lifts the "
+                             "representational ceiling ~19 dB at configs "
+                             "4-5 and trains +1.2 dB at config 4 "
+                             "(docs/SCALING.md round 3)")
+    parser.add_argument("--mask-px", dest="mask_px", type=float, default=0.0,
+                        help="pixel-footprint-adaptive coverage multiplier "
+                             "(opt-in; two committed negative A/Bs on "
+                             "synthetic targets — see docs/SCALING.md)")
+    parser.add_argument("--pixel-angle", dest="pixel_angle", type=float,
+                        default=0.0,
+                        help="per-pixel view angle for --mask-px "
+                             "(2*tan(fov/2)/height)")
+    parser.add_argument("--merge-cell", dest="merge_cell", type=float,
+                        default=0.0,
+                        help="stage-boundary overlap merge cell size "
+                             "(0.04 = the committed config 4-5 recipe; "
+                             "collapses stacked prior-seeded primitives)")
+    parser.add_argument("--split-mode", dest="split_mode", default="",
+                        choices=["", "reference", "residual"],
+                        help="residual: scale-aware split by compositor-"
+                             "weight error attribution (grows compact "
+                             "clouds; the reference's absolute threshold "
+                             "never fires below radius ~0.25)")
+    parser.add_argument("--split-budget", dest="split_budget", type=int,
+                        default=0,
+                        help="max residual splits per boundary (0 = 25% of "
+                             "kept)")
+    parser.add_argument("--lr-centers-stages", dest="lr_centers_stages",
+                        default="",
+                        help="per-stage lr_scale_centers override, comma "
+                             "list (e.g. 0.001,0.01,0.01)")
     parser.add_argument("--polish", type=int, default=0, metavar="R",
                         help="after the final stage (for --best-of: on the "
                              "winning seed), run R extra last-stage rounds "

@@ -227,3 +227,41 @@ def test_load_cameras_resolves_relative_paths(tmp_path, monkeypatch):
     monkeypatch.chdir("/")       # elsewhere: resolved against json location
     out = load_cameras(str(data / "cameras.json"))[0]["file"]
     assert out == str(data / "target_0.png") and os.path.exists(out)
+
+
+def test_train_cli_round3_flags():
+    """Round-3 knobs reach the config: Gaussian coverage, overlap merge,
+    residual split, per-stage centers lr, adaptive mask."""
+    from burn_raymarching_tpu.tools.train_cli import main
+
+    import burn_raymarching_tpu.tools.train_cli as cli
+
+    captured = {}
+
+    def fake_build_dataset(cfg):
+        captured["cfg"] = cfg
+        raise SystemExit(0)     # stop before any training
+
+    import burn_raymarching_tpu.train.loop as loop
+    orig = loop.build_dataset
+    loop.build_dataset = fake_build_dataset
+    try:
+        try:
+            main(["--coverage", "gaussian", "--merge-cell", "0.04",
+                  "--split-mode", "residual", "--split-budget", "8",
+                  "--lr-centers-stages", "0.001,0.01",
+                  "--mask-px", "1.0", "--pixel-angle", "0.004",
+                  "--sharp", "40,40"])
+        except SystemExit:
+            pass
+    finally:
+        loop.build_dataset = orig
+    cfg = captured["cfg"]
+    assert cfg.render.coverage_mode == "gaussian"
+    assert cfg.render.softmax_sharpness == 40.0
+    assert cfg.render.mask_pixel_mult == 1.0
+    assert cfg.render.pixel_angle == 0.004
+    assert cfg.density.merge_cell == 0.04
+    assert cfg.density.split_mode == "residual"
+    assert cfg.density.split_budget == 8
+    assert cfg.lr_scale_centers_stages == (0.001, 0.01)
