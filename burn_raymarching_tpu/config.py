@@ -149,6 +149,17 @@ class TrainConfig:
     lr_scale_colors: float = 1.0
     lr_scale_radii: float = 1.0
     lr_scale_light: float = 1.0
+    # Per-STAGE coverage family (empty = cfg.render.coverage_mode
+    # throughout). Entries index by stage, clamped to the last — e.g.
+    # ("sigmoid", "gaussian") trains the stacked prior-seeded stage 0 under
+    # the saturating sigmoid (whose interior is coverage-1 regardless of
+    # depth-inside) and switches to the GT-matched Gaussian once the
+    # overlap merge has collapsed the stacks (the Gaussian mask dims
+    # interiors, which costs ~2.7 dB on the 25-deep stacked init —
+    # docs/SCALING.md round 3). Changing the family changes the traced
+    # program, so the trainer builds one jitted step per distinct mode.
+    # Evaluation/preview/export always use the FINAL mode.
+    coverage_mode_stages: tuple = ()
     # Per-STAGE override of lr_scale_centers (empty = constant). The
     # committed compact-cloud recipes choose lr_scale_centers for the
     # ~25-deep stacked init; after the stage-1 overlap merge collapses the

@@ -90,6 +90,9 @@ def build_config(args) -> "TrainConfig":
     if getattr(args, "lr_centers_stages", ""):
         overrides["lr_scale_centers_stages"] = tuple(
             float(v) for v in args.lr_centers_stages.split(","))
+    if getattr(args, "coverage_stages", ""):
+        overrides["coverage_mode_stages"] = tuple(
+            args.coverage_stages.split(","))
     return TrainConfig(**overrides)
 
 
@@ -193,6 +196,12 @@ def main(argv=None):
                              "representational ceiling ~19 dB at configs "
                              "4-5 and trains +1.2 dB at config 4 "
                              "(docs/SCALING.md round 3)")
+    parser.add_argument("--coverage-stages", dest="coverage_stages",
+                        default="",
+                        help="per-stage coverage family, comma list "
+                             "(sigmoid,gaussian = sigmoid on the stacked "
+                             "init stage, Gaussian after the merge; last "
+                             "entry clamps; eval/export use --coverage)")
     parser.add_argument("--mask-px", dest="mask_px", type=float, default=0.0,
                         help="pixel-footprint-adaptive coverage multiplier "
                              "(opt-in; two committed negative A/Bs on "

@@ -133,6 +133,10 @@ class Trainer:
                        if cfg.steps_per_stage % cfg.steps_per_call == 0
                        else 1)
         self._step_fn = self._build_step()
+        # Per-coverage-mode step programs (coverage_mode_stages): the
+        # family is a static part of the traced step, so each distinct
+        # mode gets its own jitted runner, built lazily.
+        self._step_fns = {cfg.render.coverage_mode: self._step_fn}
         self.loss_history: list[float] = []
         self.metrics = MetricsLogger(cfg.metrics_jsonl)
         self.t_cache = None
@@ -203,7 +207,37 @@ class Trainer:
             self.repulsion_fn = cluster_repulsion_fused
         return march_xla
 
-    def _build_step(self):
+    def _coverage_for_stage(self, stage: int) -> str:
+        sched = self.cfg.coverage_mode_stages
+        if not sched:
+            return self.cfg.render.coverage_mode
+        return sched[min(stage, len(sched) - 1)]
+
+    def _step_for_stage(self, stage: int):
+        """The stage's jitted step runner (one per distinct coverage mode).
+
+        Without a coverage_mode_stages schedule this is exactly
+        ``self._step_fn`` — callers that rebuild it in place (kernel swaps
+        in tests/benchmarks) keep working."""
+        if not self.cfg.coverage_mode_stages:
+            return self._step_fn
+        mode = self._coverage_for_stage(stage)
+        if mode not in self._step_fns:
+            self._step_fns[mode] = self._build_step(coverage_mode=mode)
+        return self._step_fns[mode]
+
+    def _stage_cfg(self, coverage_mode: Optional[str]) -> TrainConfig:
+        """cfg with the render coverage family overridden (step building)."""
+        import dataclasses
+
+        if coverage_mode is None:
+            return self.cfg
+        return dataclasses.replace(
+            self.cfg,
+            render=dataclasses.replace(self.cfg.render,
+                                       coverage_mode=coverage_mode))
+
+    def _build_step(self, coverage_mode: Optional[str] = None):
         """Jitted multi-step runner: ``steps_per_call`` training steps chained
         with lax.scan in ONE device program.
 
@@ -220,7 +254,7 @@ class Trainer:
             make_device_step,
         )
 
-        cfg = self.cfg
+        cfg = self._stage_cfg(coverage_mode)
         device_step = make_device_step(
             cfg, march_fn=self.march_fn,
             march_normal_fn=self.march_normal_fn,
@@ -292,9 +326,10 @@ class Trainer:
         cl_idx, cl_valid = self._build_cluster_table(padded, mask)
         t0 = time.time()
         stage_arr = jnp.asarray(stage, jnp.int32)
+        step_fn = self._step_for_stage(stage)
         for start in range(0, steps, chunk):
             key, sub = jax.random.split(key)
-            padded, opt_state, t_cache, losses = self._step_fn(
+            padded, opt_state, t_cache, losses = step_fn(
                 padded, opt_state, sub, mask, ds.packed, self._sample_fg[0],
                 self._sample_fg[1], t_cache, stage_arr,
                 jnp.asarray(start + step_offset, jnp.int32),

