@@ -87,6 +87,29 @@ EXPERIMENTS["c5_gauss_deep"] = [
     "--steps", "1000", "--polish", "2",
     "--coverage", "gaussian", "--mask-sharp", "40"]
 
+# Hybrid coverage schedule: sigmoid for the stacked stage 0 (its interior
+# renders coverage-1 under the saturating sigmoid; the Gaussian dims it
+# 2.7 dB), GT-matched Gaussian after the merge. Eval/export = gaussian.
+EXPERIMENTS["c5_hybrid"] = [
+    "--out", "runs/c5_hybrid", "--data", "runs/c5/data",
+    "--skip-ceiling", "--stages", "3", "--merge-cell", "0.04",
+    "--steps", "1000", "--coverage", "gaussian", "--mask-sharp", "40",
+    "--coverage-stages", "sigmoid,gaussian"]
+EXPERIMENTS["c5_hybrid_deep"] = [
+    "--out", "runs/c5_hybrid_deep", "--data", "runs/c5/data",
+    "--skip-ceiling", "--stages", "5", "--merge-cell", "0.04",
+    "--steps", "1000", "--polish", "2",
+    "--coverage", "gaussian", "--mask-sharp", "40",
+    "--coverage-stages", "sigmoid,gaussian"]
+EXPERIMENTS["c4_hybrid"] = C4_RECIPE + [
+    "--out", "runs/c4_hybrid",
+    "--coverage", "gaussian", "--mask-sharp", "40",
+    "--coverage-stages", "sigmoid,gaussian"]
+# The c4 recipe through the SHARDED driver on the real chip ((1,1) mesh):
+# PSNR parity vs runs/c4_r2 (26.10) + wall overhead at real step sizes.
+EXPERIMENTS["c4_dist"] = C4_RECIPE + ["--out", "runs/c4_dist",
+                                      "--distributed"]
+
 # Hard-silhouette A/B (generate --gt-hard-mask): binary-mask targets, the
 # chromakeyed-capture statistic mask_pixel_mult was built for. Fixed mask
 # (the committed default) vs sharp world cap + 1-px adaptive floor.
