@@ -296,17 +296,23 @@ class DistributedTrainer(Trainer):
                     [ro, jnp.repeat(ro[-1:], n_pad - p_loc, axis=0)])
                 rd = jnp.concatenate(
                     [rd, jnp.repeat(rd[-1:], n_pad - p_loc, axis=0)])
-            cones = tile_cones(ro, rd, tile)
-            idx_t, valid_t = select_tile_primitives(
-                cones, centers_p, radii_p, k_val, cfg.cull_budget, mask=mask)
-            cs = jnp.take(centers_p, idx_t, axis=0)
-            rs = jnp.take(radii_p.reshape(-1), idx_t, axis=0)
-            qs = jnp.where(valid_t, jnp.sum(cs * cs, axis=2), 1e30)
             b = n_pad // tile
 
             def one(args):
-                ro3, rd3, cs3, rs3, qs3 = args
-                t, _ = kern(ro3, rd3, cs3, rs3, qs3, k_val,
+                # Selection AND march per map slice: selecting all local
+                # tiles up front materializes a [tiles*K, 3] gather that
+                # blows HBM at real shapes (measured 15 GB padded on the
+                # c4 recipe with data=1 — 15,360 tiles x K=2048).
+                ro3, rd3 = args                       # [group, tile, 3]
+                cones = tile_cones(ro3.reshape(-1, 3), rd3.reshape(-1, 3),
+                                   tile)
+                idx_t, valid_t = select_tile_primitives(
+                    cones, centers_p, radii_p, k_val, cfg.cull_budget,
+                    mask=mask)
+                cs = jnp.take(centers_p, idx_t, axis=0)
+                rs = jnp.take(radii_p.reshape(-1), idx_t, axis=0)
+                qs = jnp.where(valid_t, jnp.sum(cs * cs, axis=2), 1e30)
+                t, _ = kern(ro3, rd3, cs, rs, qs, k_val,
                             num_steps=cfg.render.march_steps,
                             normal_eps=cfg.render.normal_eps)
                 return t
@@ -314,9 +320,6 @@ class DistributedTrainer(Trainer):
             t = jax.lax.map(one, (
                 ro.reshape(b // group, group, tile, 3),
                 rd.reshape(b // group, group, tile, 3),
-                cs.reshape(b // group, group, *cs.shape[1:]),
-                rs.reshape(b // group, group, *rs.shape[1:]),
-                qs.reshape(b // group, group, *qs.shape[1:]),
             ))
             return t.reshape(-1)[:p_loc]
 
