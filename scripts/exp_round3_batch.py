@@ -105,6 +105,12 @@ EXPERIMENTS["c4_hybrid"] = C4_RECIPE + [
     "--out", "runs/c4_hybrid",
     "--coverage", "gaussian", "--mask-sharp", "40",
     "--coverage-stages", "sigmoid,gaussian"]
+EXPERIMENTS["c4_hybrid_deep"] = C4 + [
+    "--out", "runs/c4_hybrid_deep", "--data", "runs/c4_r2/data",
+    "--skip-ceiling", "--stages", "5", "--merge-cell", "0.04",
+    "--steps", "1000", "--polish", "2",
+    "--coverage", "gaussian", "--mask-sharp", "40",
+    "--coverage-stages", "sigmoid,gaussian"]
 # The c4 recipe through the SHARDED driver on the real chip ((1,1) mesh):
 # PSNR parity vs runs/c4_r2 (26.10) + wall overhead at real step sizes.
 EXPERIMENTS["c4_dist"] = C4_RECIPE + ["--out", "runs/c4_dist",
