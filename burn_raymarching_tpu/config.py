@@ -160,6 +160,14 @@ class TrainConfig:
     # program, so the trainer builds one jitted step per distinct mode.
     # Evaluation/preview/export always use the FINAL mode.
     coverage_mode_stages: tuple = ()
+    # Per-STAGE coverage sharpness (same clamping/indexing; empty = the
+    # constant render.mask_sharpness). Coarse-to-fine annealing: pathology
+    # 3's center-gradient valleys have width ~1/mask_sharpness (sigmoid) or
+    # ~1/sqrt(s) (gaussian) — soft early stages give geometry wide basins
+    # to move in, late stages match the GT family/sharpness for the
+    # representational ceiling. One jitted step program per distinct
+    # (coverage, sharpness) pair.
+    mask_sharpness_stages: tuple = ()
     # Per-STAGE override of lr_scale_centers (empty = constant). The
     # committed compact-cloud recipes choose lr_scale_centers for the
     # ~25-deep stacked init; after the stage-1 overlap merge collapses the

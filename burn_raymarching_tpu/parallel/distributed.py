@@ -171,9 +171,10 @@ class DistributedTrainer(Trainer):
 
     # --- step construction -------------------------------------------- #
 
-    def _build_step(self, coverage_mode=None):
+    def _build_step(self, render_overrides=None):
         return make_sharded_chunk_runner(
-            self._stage_cfg(coverage_mode), self.mesh, self.tx, self._chunk,
+            self._stage_cfg(render_overrides), self.mesh, self.tx,
+            self._chunk,
             march_fn=self.march_fn,
             march_normal_fn=self.march_normal_fn,
             culled_march_fn=self.culled_march_normal_fn,

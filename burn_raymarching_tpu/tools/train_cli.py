@@ -93,6 +93,9 @@ def build_config(args) -> "TrainConfig":
     if getattr(args, "coverage_stages", ""):
         overrides["coverage_mode_stages"] = tuple(
             args.coverage_stages.split(","))
+    if getattr(args, "mask_sharp_stages", ""):
+        overrides["mask_sharpness_stages"] = tuple(
+            float(v) for v in args.mask_sharp_stages.split(","))
     return TrainConfig(**overrides)
 
 
@@ -202,6 +205,12 @@ def main(argv=None):
                              "(sigmoid,gaussian = sigmoid on the stacked "
                              "init stage, Gaussian after the merge; last "
                              "entry clamps; eval/export use --coverage)")
+    parser.add_argument("--mask-sharp-stages", dest="mask_sharp_stages",
+                        default="",
+                        help="per-stage mask sharpness, comma list (coarse-"
+                             "to-fine annealing; last entry clamps and "
+                             "should equal the --sharp mask value eval "
+                             "uses)")
     parser.add_argument("--mask-px", dest="mask_px", type=float, default=0.0,
                         help="pixel-footprint-adaptive coverage multiplier "
                              "(opt-in; two committed negative A/Bs on "

@@ -133,10 +133,11 @@ class Trainer:
                        if cfg.steps_per_stage % cfg.steps_per_call == 0
                        else 1)
         self._step_fn = self._build_step()
-        # Per-coverage-mode step programs (coverage_mode_stages): the
-        # family is a static part of the traced step, so each distinct
-        # mode gets its own jitted runner, built lazily.
-        self._step_fns = {cfg.render.coverage_mode: self._step_fn}
+        # Per-stage step programs (coverage_mode_stages /
+        # mask_sharpness_stages): the render family/sharpness are static
+        # parts of the traced step, so each distinct override set gets its
+        # own jitted runner, built lazily.
+        self._step_fns = {}
         self.loss_history: list[float] = []
         self.metrics = MetricsLogger(cfg.metrics_jsonl)
         self.t_cache = None
@@ -213,31 +214,44 @@ class Trainer:
             return self.cfg.render.coverage_mode
         return sched[min(stage, len(sched) - 1)]
 
+    def _render_overrides_for_stage(self, stage: int) -> dict:
+        """Per-stage RenderConfig overrides (coverage family + mask
+        sharpness schedules), {} when neither schedule is set."""
+        out = {}
+        if self.cfg.coverage_mode_stages:
+            out["coverage_mode"] = self._coverage_for_stage(stage)
+        sched = self.cfg.mask_sharpness_stages
+        if sched:
+            out["mask_sharpness"] = float(
+                sched[min(stage, len(sched) - 1)])
+        return out
+
     def _step_for_stage(self, stage: int):
-        """The stage's jitted step runner (one per distinct coverage mode).
+        """The stage's jitted step runner (one per distinct per-stage
+        render override set).
 
-        Without a coverage_mode_stages schedule this is exactly
-        ``self._step_fn`` — callers that rebuild it in place (kernel swaps
-        in tests/benchmarks) keep working."""
-        if not self.cfg.coverage_mode_stages:
+        Without schedules this is exactly ``self._step_fn`` — callers that
+        rebuild it in place (kernel swaps in tests/benchmarks) keep
+        working."""
+        over = self._render_overrides_for_stage(stage)
+        if not over:
             return self._step_fn
-        mode = self._coverage_for_stage(stage)
-        if mode not in self._step_fns:
-            self._step_fns[mode] = self._build_step(coverage_mode=mode)
-        return self._step_fns[mode]
+        key = tuple(sorted(over.items()))
+        if key not in self._step_fns:
+            self._step_fns[key] = self._build_step(render_overrides=over)
+        return self._step_fns[key]
 
-    def _stage_cfg(self, coverage_mode: Optional[str]) -> TrainConfig:
-        """cfg with the render coverage family overridden (step building)."""
+    def _stage_cfg(self, render_overrides: Optional[dict]) -> TrainConfig:
+        """cfg with per-stage render fields overridden (step building)."""
         import dataclasses
 
-        if coverage_mode is None:
+        if not render_overrides:
             return self.cfg
         return dataclasses.replace(
             self.cfg,
-            render=dataclasses.replace(self.cfg.render,
-                                       coverage_mode=coverage_mode))
+            render=dataclasses.replace(self.cfg.render, **render_overrides))
 
-    def _build_step(self, coverage_mode: Optional[str] = None):
+    def _build_step(self, render_overrides: Optional[dict] = None):
         """Jitted multi-step runner: ``steps_per_call`` training steps chained
         with lax.scan in ONE device program.
 
@@ -254,7 +268,7 @@ class Trainer:
             make_device_step,
         )
 
-        cfg = self._stage_cfg(coverage_mode)
+        cfg = self._stage_cfg(render_overrides)
         device_step = make_device_step(
             cfg, march_fn=self.march_fn,
             march_normal_fn=self.march_normal_fn,

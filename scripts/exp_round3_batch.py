@@ -111,6 +111,19 @@ EXPERIMENTS["c4_hybrid_deep"] = C4 + [
     "--steps", "1000", "--polish", "2",
     "--coverage", "gaussian", "--mask-sharp", "40",
     "--coverage-stages", "sigmoid,gaussian"]
+# Coarse-to-fine sharpness annealing on top of the hybrid schedule:
+# pathology-3 basins have width ~1/sqrt(s) under the Gaussian — start the
+# gaussian phase SOFT (s=10, ~3x wider basins than 40) so post-merge
+# geometry can move, then anneal to the GT-matched 40 for the ceiling.
+for cfg_name, base in (("c4_anneal", C4 + ["--data", "runs/c4_r2/data"]),
+                       ("c5_anneal", ["--data", "runs/c5/data"])):
+    EXPERIMENTS[cfg_name] = base + [
+        "--out", f"runs/{cfg_name}", "--skip-ceiling",
+        "--stages", "5", "--merge-cell", "0.04", "--steps", "1000",
+        "--polish", "2", "--coverage", "gaussian", "--mask-sharp", "40",
+        "--coverage-stages", "sigmoid,gaussian",
+        "--mask-sharp-stages", "60,10,20,40,40"]
+
 # The c4 recipe through the SHARDED driver on the real chip ((1,1) mesh):
 # PSNR parity vs runs/c4_r2 (26.10) + wall overhead at real step sizes.
 EXPERIMENTS["c4_dist"] = C4_RECIPE + ["--out", "runs/c4_dist",

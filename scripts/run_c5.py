@@ -94,6 +94,11 @@ def main(argv=None):
                    default=60.0, help="coverage mask sharpness "
                    "(world-space lower bound when --mask-px is set; the "
                    "Gaussian s when --coverage gaussian)")
+    p.add_argument("--mask-sharp-stages", dest="mask_sharp_stages",
+                   default="", help="per-stage mask sharpness, comma list "
+                   "(coarse-to-fine annealing: soft early stages widen the "
+                   "pathology-3 geometry basins; last entry clamps and "
+                   "should equal --mask-sharp, which eval uses)")
     p.add_argument("--coverage-stages", dest="coverage_stages", default="",
                    help="per-stage coverage family, comma list (e.g. "
                    "sigmoid,gaussian = sigmoid on the stacked stage 0, "
@@ -213,6 +218,9 @@ def main(argv=None):
         lr_scale_centers_stages=lr_centers_stages,
         coverage_mode_stages=(tuple(args.coverage_stages.split(","))
                               if args.coverage_stages else ()),
+        mask_sharpness_stages=(tuple(float(x) for x in
+                                     args.mask_sharp_stages.split(","))
+                               if args.mask_sharp_stages else ()),
         render=RenderConfig(
             softmax_sharpness=40.0, mask_sharpness=args.mask_sharp,
             mask_pixel_mult=args.mask_px,
@@ -328,6 +336,7 @@ def main(argv=None):
                    mask_px=args.mask_px, mask_sharp=args.mask_sharp,
                    polish=args.polish, coverage=args.coverage,
                    coverage_stages=args.coverage_stages,
+                   mask_sharp_stages=args.mask_sharp_stages,
                    split_mode=args.split_mode,
                    split_budget=args.split_budget,
                    split_frac=args.split_frac,

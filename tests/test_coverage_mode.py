@@ -226,3 +226,49 @@ def test_coverage_schedule_stage_program_differs():
                     jnp.zeros((0, 0), jnp.int32), jnp.zeros((0, 0), bool))
         outs.append(np.asarray(p1.colors))
     assert np.abs(outs[0] - outs[1]).max() > 1e-7
+
+
+def test_mask_sharpness_stage_schedule():
+    """mask_sharpness_stages composes with coverage_mode_stages: one step
+    program per distinct override pair, overrides visible in the stage
+    cfg, and the no-schedule path returns the prebuilt step fn."""
+    import os
+
+    from burn_raymarching_tpu.config import TrainConfig
+    from burn_raymarching_tpu.train.loop import Trainer, build_dataset
+
+    cfg = TrainConfig(
+        batch_size=256, stages=3, steps_per_stage=4, steps_per_call=4,
+        use_pallas=False, checkpoint_dir=None,
+        coverage_mode_stages=("sigmoid", "gaussian"),
+        mask_sharpness_stages=(15.0, 10.0, 40.0),
+        cameras_json="/root/reference/data/cameras.json",
+    )
+    cwd = os.getcwd()
+    os.chdir("/root/reference")
+    try:
+        ds = build_dataset(cfg)
+    finally:
+        os.chdir(cwd)
+    tr = Trainer(cfg, ds, log=lambda s: None)
+    assert tr._render_overrides_for_stage(0) == {
+        "coverage_mode": "sigmoid", "mask_sharpness": 15.0}
+    assert tr._render_overrides_for_stage(1) == {
+        "coverage_mode": "gaussian", "mask_sharpness": 10.0}
+    assert tr._render_overrides_for_stage(9) == {
+        "coverage_mode": "gaussian", "mask_sharpness": 40.0}   # clamped
+    c1 = tr._stage_cfg(tr._render_overrides_for_stage(1))
+    assert c1.render.coverage_mode == "gaussian"
+    assert c1.render.mask_sharpness == 10.0
+    # Distinct programs per stage; same overrides share one.
+    f0, f1, f2 = (tr._step_for_stage(s) for s in (0, 1, 2))
+    assert f0 is not f1 and f1 is not f2
+    assert tr._step_for_stage(2) is f2
+
+    # No schedule → the prebuilt step fn (kernel-swap compatibility).
+    import dataclasses
+
+    tr2 = Trainer(dataclasses.replace(cfg, coverage_mode_stages=(),
+                                      mask_sharpness_stages=()),
+                  ds, log=lambda s: None)
+    assert tr2._step_for_stage(0) is tr2._step_fn
