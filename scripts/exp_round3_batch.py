@@ -124,6 +124,22 @@ for cfg_name, base in (("c4_anneal", C4 + ["--data", "runs/c4_r2/data"]),
         "--coverage-stages", "sigmoid,gaussian",
         "--mask-sharp-stages", "60,10,20,40,40"]
 
+# Seed robustness of the round-3 headline recipe (single-seed numbers
+# 27.62 / 27.15 need a spread check before they're quotable).
+for s in (1, 2):
+    EXPERIMENTS[f"c4_hd_s{s}"] = C4 + [
+        "--data", "runs/c4_r2/data", "--out", f"runs/c4_hd_s{s}",
+        "--skip-ceiling", "--stages", "5", "--merge-cell", "0.04",
+        "--steps", "1000", "--polish", "2",
+        "--coverage", "gaussian", "--mask-sharp", "40",
+        "--coverage-stages", "sigmoid,gaussian", "--seed", str(s)]
+EXPERIMENTS["c5_hd_s1"] = [
+    "--data", "runs/c5/data", "--out", "runs/c5_hd_s1",
+    "--skip-ceiling", "--stages", "5", "--merge-cell", "0.04",
+    "--steps", "1000", "--polish", "2",
+    "--coverage", "gaussian", "--mask-sharp", "40",
+    "--coverage-stages", "sigmoid,gaussian", "--seed", "1"]
+
 # The c4 recipe through the SHARDED driver on the real chip ((1,1) mesh):
 # PSNR parity vs runs/c4_r2 (26.10) + wall overhead at real step sizes.
 EXPERIMENTS["c4_dist"] = C4_RECIPE + ["--out", "runs/c4_dist",
