@@ -38,7 +38,8 @@ def load_cameras(path: str) -> list[dict]:
         assert {"file", "origin", "target", "fov"} <= set(c), c
         fp = c["file"]
         if not os.path.isabs(fp) and not os.path.exists(fp):
-            cands = (os.path.join(root, fp),
+            cands = (os.path.join(json_dir, fp),
+                     os.path.join(root, fp),
                      os.path.join(json_dir, os.path.basename(fp)))
             for cand in cands:
                 if os.path.exists(cand):

@@ -87,13 +87,20 @@ def main(argv=None):
     if args.points_in:
         import json
 
+        if not args.points_out:
+            # In-place overwrite would double-transform the prior on a
+            # pipeline retry with no error anywhere — require an explicit
+            # destination.
+            raise SystemExit("--points-in requires --points-out (in-place "
+                             "overwrite would double-transform the prior "
+                             "if the command is re-run)")
         with open(args.points_in) as f:
             pts = np.asarray(json.load(f)["points"], np.float32)
         pts = transform_points(pts, center, scale)
-        dest = args.points_out or args.points_in
-        with open(dest, "w") as f:
+        with open(args.points_out, "w") as f:
             json.dump({"points": pts.reshape(-1).tolist()}, f)
-        print(f"✅ Recentered {pts.shape[0]} prior points → {dest}")
+        print(f"✅ Recentered {pts.shape[0]} prior points → "
+              f"{args.points_out}")
 
 
 if __name__ == "__main__":

@@ -67,6 +67,10 @@ def build_config(args) -> "TrainConfig":
     if getattr(args, "coverage", None):
         render_kw["coverage_mode"] = args.coverage
     if getattr(args, "mask_px", 0.0):
+        if getattr(args, "pixel_angle", 0.0) <= 0.0:
+            raise SystemExit(
+                "--mask-px needs --pixel-angle (2*tan(fov/2)/height); "
+                "without it the adaptive mask is a silent no-op")
         render_kw.update(mask_pixel_mult=args.mask_px,
                          pixel_angle=args.pixel_angle)
     if render_kw:

@@ -107,6 +107,27 @@ class Trainer:
         self.cfg = cfg
         self.dataset = dataset
         self.log = log
+        # Fail at construction, not after a trained stage (review r3):
+        if cfg.density.split_mode == "residual" and not cfg.use_culling:
+            raise ValueError('split_mode="residual" requires use_culling '
+                             '(it exists for the compact-cloud configs)')
+        if (cfg.coverage_mode_stages
+                and cfg.coverage_mode_stages[-1] != cfg.render.coverage_mode):
+            raise ValueError(
+                f"coverage_mode_stages ends with "
+                f"{cfg.coverage_mode_stages[-1]!r} but render.coverage_mode "
+                f"(used by eval/preview/polish/export) is "
+                f"{cfg.render.coverage_mode!r} — they must agree or the "
+                f"reported PSNR measures a different forward than the one "
+                f"trained")
+        if (cfg.mask_sharpness_stages
+                and float(cfg.mask_sharpness_stages[-1])
+                != cfg.render.mask_sharpness):
+            raise ValueError(
+                f"mask_sharpness_stages ends with "
+                f"{cfg.mask_sharpness_stages[-1]} but render.mask_sharpness "
+                f"(used by eval/preview/polish/export) is "
+                f"{cfg.render.mask_sharpness} — they must agree")
         self._io = True   # subclasses gate file writes to host 0
         self.march_normal_fn = None
         self.culled_march_normal_fn = None
@@ -234,6 +255,12 @@ class Trainer:
         rebuild it in place (kernel swaps in tests/benchmarks) keep
         working."""
         over = self._render_overrides_for_stage(stage)
+        # Drop overrides equal to the base config so stages matching it
+        # (e.g. the final stage of a schedule that ends at the base values)
+        # reuse the prebuilt program instead of re-compiling an identical
+        # one (full-step compiles are minutes-scale cold here).
+        base = self.cfg.render
+        over = {k: v for k, v in over.items() if getattr(base, k) != v}
         if not over:
             return self._step_fn
         key = tuple(sorted(over.items()))
@@ -664,14 +691,14 @@ class Trainer:
                     primitive_residual_scores,
                 )
 
-                if not cfg.use_culling:
-                    raise ValueError('split_mode="residual" requires '
-                                     'use_culling (it exists for the '
-                                     'compact-cloud configs)')
                 k_end = anneal_for_step(cfg, stage, cfg.steps_per_stage)[1]
+                # Score under the STAGE's forward (per-stage coverage /
+                # sharpness schedules), not the final one — residuals must
+                # reflect the model the stage actually trained.
                 split_scores = primitive_residual_scores(
-                    padded, mask, self.dataset, cfg, k_end,
-                    kern=self.culled_march_normal_fn)[:params.n]
+                    padded, mask, self.dataset,
+                    self._stage_cfg(self._render_overrides_for_stage(stage)),
+                    k_end, kern=self.culled_march_normal_fn)[:params.n]
             centers, colors, radii, stats = prune_and_split(
                 np.asarray(unpadded.centers),
                 np.asarray(unpadded.colors),

@@ -94,7 +94,8 @@ def _score_chunk_culled(padded, mask, ro, rd, tgt, smooth_k,
                             coverage_mode=rc.coverage_mode)     # [B, T, 1]
     out = mixed * lighting * cov
     resid = jnp.sum(jnp.abs(out - tgt.reshape(b, tile, 3)), axis=2)  # [B, T]
-    contrib = jnp.einsum("btk,bt->bk", weights * cov, resid)    # [B, K]
+    contrib = jnp.einsum("btk,bt->bk", weights * cov, resid,
+                         precision=jax.lax.Precision.HIGHEST)   # [B, K]
     contrib = jnp.where(valid_t, contrib, 0.0)
     return jnp.zeros((m_pad,), jnp.float32).at[idx_t].add(contrib)
 

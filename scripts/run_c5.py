@@ -285,13 +285,21 @@ def main(argv=None):
     if args.ceiling_only:
         # Results hygiene: update an existing results.json's ceiling (the
         # one-methodology re-measure) or write a fresh schema-complete one.
+        # A null ceiling must never clobber a measured one, and the run's
+        # recorded training recipe ('coverage') is provenance this
+        # evaluator-only pass must not rewrite.
+        if results["ceiling"] is None:
+            raise SystemExit("--ceiling-only with --skip-ceiling measures "
+                             "nothing; drop --skip-ceiling")
         path = os.path.join(args.out, "results.json")
         prev = {}
         if os.path.exists(path):
             with open(path) as f:
                 prev = json.load(f)
-        prev.update(ceiling=results["ceiling"], coverage=args.coverage,
+        prev.update(ceiling=results["ceiling"],
+                    ceiling_coverage=args.coverage,
                     ceiling_evaluator="scripts/run_c5.py --ceiling-only")
+        prev.setdefault("coverage", args.coverage)
         with open(path, "w") as f:
             json.dump(prev, f, indent=1)
         print(json.dumps(prev))

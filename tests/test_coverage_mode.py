@@ -164,10 +164,13 @@ def test_coverage_mode_stage_schedule(tmp_path, monkeypatch):
     from burn_raymarching_tpu.config import TrainConfig
     from burn_raymarching_tpu.train.loop import Trainer, build_dataset
 
+    from burn_raymarching_tpu.config import RenderConfig
+
     cfg = TrainConfig(
         batch_size=256, stages=2, steps_per_stage=8, steps_per_call=8,
         use_pallas=False, checkpoint_dir=None,
         coverage_mode_stages=("sigmoid", "gaussian"),
+        render=RenderConfig(coverage_mode="gaussian"),
         cameras_json="/root/reference/data/cameras.json",
     )
     cwd = os.getcwd()
@@ -182,7 +185,11 @@ def test_coverage_mode_stage_schedule(tmp_path, monkeypatch):
     assert tr._coverage_for_stage(1) == "gaussian"
     assert tr._coverage_for_stage(7) == "gaussian"   # clamped (polish)
     padded, mask = tr.run()
-    assert len(tr._step_fns) >= 2                    # one program per mode
+    # Stage 0 (sigmoid) got its own program; stage 1 equals the base
+    # render config and reuses the prebuilt step (no duplicate compile).
+    assert len(tr._step_fns) == 1
+    assert tr._step_for_stage(0) is not tr._step_for_stage(1)
+    assert tr._step_for_stage(1) is tr._step_fn
     for leaf in [padded.centers, padded.colors, padded.radii]:
         assert np.isfinite(np.asarray(leaf)).all()
 
@@ -198,10 +205,13 @@ def test_coverage_schedule_stage_program_differs():
     from burn_raymarching_tpu.models.scene import init_scene_params, pad_params
     from burn_raymarching_tpu.train.loop import Trainer, build_dataset
 
+    from burn_raymarching_tpu.config import RenderConfig
+
     cfg = TrainConfig(
         batch_size=256, stages=2, steps_per_stage=4, steps_per_call=4,
         use_pallas=False, checkpoint_dir=None,
         coverage_mode_stages=("sigmoid", "gaussian"),
+        render=RenderConfig(coverage_mode="gaussian"),
         cameras_json="/root/reference/data/cameras.json",
     )
     cwd = os.getcwd()
@@ -237,11 +247,14 @@ def test_mask_sharpness_stage_schedule():
     from burn_raymarching_tpu.config import TrainConfig
     from burn_raymarching_tpu.train.loop import Trainer, build_dataset
 
+    from burn_raymarching_tpu.config import RenderConfig
+
     cfg = TrainConfig(
         batch_size=256, stages=3, steps_per_stage=4, steps_per_call=4,
         use_pallas=False, checkpoint_dir=None,
         coverage_mode_stages=("sigmoid", "gaussian"),
         mask_sharpness_stages=(15.0, 10.0, 40.0),
+        render=RenderConfig(coverage_mode="gaussian", mask_sharpness=40.0),
         cameras_json="/root/reference/data/cameras.json",
     )
     cwd = os.getcwd()
@@ -272,3 +285,71 @@ def test_mask_sharpness_stage_schedule():
                                       mask_sharpness_stages=()),
                   ds, log=lambda s: None)
     assert tr2._step_for_stage(0) is tr2._step_fn
+
+
+def test_schedule_final_mode_must_match_eval_forward():
+    """Review r3: a schedule whose last entry differs from the base render
+    config would make polish/eval measure a different forward than the one
+    trained — Trainer must refuse at construction."""
+    import os
+
+    import pytest as pt
+
+    from burn_raymarching_tpu.config import DensityConfig, TrainConfig
+    from burn_raymarching_tpu.train.loop import Trainer, build_dataset
+
+    cfg0 = TrainConfig(batch_size=256, use_pallas=False,
+                       checkpoint_dir=None,
+                       cameras_json="/root/reference/data/cameras.json")
+    cwd = os.getcwd()
+    os.chdir("/root/reference")
+    try:
+        ds = build_dataset(cfg0)
+    finally:
+        os.chdir(cwd)
+    import dataclasses
+
+    with pt.raises(ValueError, match="coverage_mode_stages"):
+        Trainer(dataclasses.replace(
+            cfg0, coverage_mode_stages=("sigmoid", "gaussian")), ds)
+    with pt.raises(ValueError, match="mask_sharpness_stages"):
+        Trainer(dataclasses.replace(
+            cfg0, mask_sharpness_stages=(10.0, 40.0)), ds)
+    # Residual split without culling fails at construction, not at the
+    # first stage boundary.
+    with pt.raises(ValueError, match="use_culling"):
+        Trainer(dataclasses.replace(
+            cfg0, density=DensityConfig(split_mode="residual")), ds)
+
+
+def test_load_cameras_resolves_json_relative_paths(tmp_path):
+    """Review r3: entries like 'images_nobg/f.png' relative to the json's
+    own directory (the colmap_to_json --prefix layout) must resolve from
+    any cwd."""
+    import json
+    import os
+
+    from burn_raymarching_tpu.data.scene_io import load_cameras
+
+    d = tmp_path / "cap"
+    (d / "images_nobg").mkdir(parents=True)
+    (d / "images_nobg" / "f.png").write_bytes(b"x")
+    cams = [{"file": "images_nobg/f.png", "origin": [0, 0, -2],
+             "target": [0, 0, 0], "fov": 50.0}]
+    with open(d / "cameras.json", "w") as f:
+        json.dump(cams, f)
+    cwd = os.getcwd()
+    os.chdir("/")                      # anywhere but the capture dir
+    try:
+        out = load_cameras(str(d / "cameras.json"))
+    finally:
+        os.chdir(cwd)
+    assert out[0]["file"] == str(d / "images_nobg" / "f.png")
+    # Missing entries fail at load time with the candidate list.
+    import pytest as pt
+
+    cams[0]["file"] = "nope/missing.png"
+    with open(d / "cameras.json", "w") as f:
+        json.dump(cams, f)
+    with pt.raises(FileNotFoundError, match="missing.png"):
+        load_cameras(str(d / "cameras.json"))
