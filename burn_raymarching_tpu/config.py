@@ -70,6 +70,17 @@ class LossConfig:
     #                measured ~0.7 ms/step cheaper at M=51k — grad cosine
     #                ~0.978). The exact near field is identical in both.
     repulsion_far_field: str = "member"
+    # --- TPU-native extension (default OFF = reference parity) ---
+    # Extra multiplier on the DIM SILHOUETTE FRINGE: object pixels whose
+    # target luminance sum is in (fg_mask_threshold, fringe_threshold).
+    # Round-3 error decomposition (scripts/diag_error_decomp.py) measured
+    # 69-84% of the trained scenes' residual squared error in the ±2 px
+    # silhouette band at ~16 dB local PSNR while interiors sit at ~28.5 —
+    # the soft-mask fringe is exactly the low-target-luminance band, so a
+    # value-based weight reaches it with no spatial plumbing. Applies on
+    # top of fg_weight (training.rs:24-31 semantics otherwise unchanged).
+    fringe_weight: float = 1.0
+    fringe_threshold: float = 0.3
 
 
 @dataclasses.dataclass(frozen=True)

@@ -182,6 +182,13 @@ def compute_loss(
         cfg.bg_weight_end - cfg.bg_weight_start
     )
     weight_map = jnp.where(object_mask, cfg.fg_weight, bg_weight)
+    if cfg.fringe_weight != 1.0:
+        # Dim-silhouette-fringe boost (LossConfig.fringe_weight): the
+        # low-luminance object band carries most of the residual error at
+        # convergence (docs/SCALING.md round 3); reference parity when 1.0.
+        fringe = object_mask & (target_sum < cfg.fringe_threshold)
+        weight_map = jnp.where(fringe, weight_map * cfg.fringe_weight,
+                               weight_map)
     loss = jnp.mean(abs_diff * weight_map)
 
     n_valid = (

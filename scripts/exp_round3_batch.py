@@ -140,6 +140,24 @@ EXPERIMENTS["c5_hd_s1"] = [
     "--coverage", "gaussian", "--mask-sharp", "40",
     "--coverage-stages", "sigmoid,gaussian", "--seed", "1"]
 
+# Fringe-weighted loss A/B (LossConfig.fringe_weight): the error
+# decomposition puts 69-84% of residual error in the dim silhouette
+# fringe — upweight exactly that band on the headline recipe.
+for fw in (4, 10):
+    EXPERIMENTS[f"c4_fringe{fw}"] = C4 + [
+        "--data", "runs/c4_r2/data", "--out", f"runs/c4_fringe{fw}",
+        "--skip-ceiling", "--stages", "5", "--merge-cell", "0.04",
+        "--steps", "1000", "--polish", "2",
+        "--coverage", "gaussian", "--mask-sharp", "40",
+        "--coverage-stages", "sigmoid,gaussian",
+        "--fringe-weight", str(fw)]
+EXPERIMENTS["c5_fringe4"] = [
+    "--data", "runs/c5/data", "--out", "runs/c5_fringe4",
+    "--skip-ceiling", "--stages", "5", "--merge-cell", "0.04",
+    "--steps", "1000", "--polish", "2",
+    "--coverage", "gaussian", "--mask-sharp", "40",
+    "--coverage-stages", "sigmoid,gaussian", "--fringe-weight", "4"]
+
 # The c4 recipe through the SHARDED driver on the real chip ((1,1) mesh):
 # PSNR parity vs runs/c4_r2 (26.10) + wall overhead at real step sizes.
 EXPERIMENTS["c4_dist"] = C4_RECIPE + ["--out", "runs/c4_dist",

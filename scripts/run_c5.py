@@ -61,6 +61,14 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--far-field", dest="far_field", default="member",
                    choices=["member", "monopole"])
+    p.add_argument("--fringe-weight", dest="fringe_weight", type=float,
+                   default=1.0,
+                   help="extra loss multiplier on the dim silhouette "
+                   "fringe (object pixels with target sum < "
+                   "--fringe-threshold) — the band carrying 69-84%% of "
+                   "residual error (docs/SCALING.md round 3)")
+    p.add_argument("--fringe-threshold", dest="fringe_threshold",
+                   type=float, default=0.3)
     p.add_argument("--skip-ceiling", action="store_true")
     p.add_argument("--data", default=None,
                    help="reuse an existing dataset dir instead of generating")
@@ -229,7 +237,9 @@ def main(argv=None):
             # cameras share one fov).
             pixel_angle=(2.0 * math.tan(math.radians(fov / 2))
                          / args.size) if args.mask_px > 0 else 0.0),
-        loss=LossConfig(repulsion_far_field=args.far_field),
+        loss=LossConfig(repulsion_far_field=args.far_field,
+                        fringe_weight=args.fringe_weight,
+                        fringe_threshold=args.fringe_threshold),
         density=DensityConfig(merge_cell=args.merge_cell,
                               split_mode=args.split_mode,
                               split_budget=args.split_budget,
@@ -345,6 +355,8 @@ def main(argv=None):
                    polish=args.polish, coverage=args.coverage,
                    coverage_stages=args.coverage_stages,
                    mask_sharp_stages=args.mask_sharp_stages,
+                   fringe_weight=args.fringe_weight,
+                   fringe_threshold=args.fringe_threshold,
                    split_mode=args.split_mode,
                    split_budget=args.split_budget,
                    split_frac=args.split_frac,

@@ -166,3 +166,37 @@ def test_cluster_repulsion_approximates_exact():
     assert np.isfinite(g_a).all()
     cos = (g_a * g_e).sum() / (np.linalg.norm(g_a) * np.linalg.norm(g_e))
     assert cos > 0.95, cos
+
+
+def test_fringe_weight_reference_parity_and_boost():
+    """fringe_weight=1 is bit-identical to the reference loss; >1 upweights
+    exactly the dim object fringe (fg_mask_threshold < sum < threshold)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from burn_raymarching_tpu.config import LossConfig
+    from burn_raymarching_tpu.models.scene import init_scene_params
+    from burn_raymarching_tpu.train.loss import compute_loss
+
+    params = init_scene_params(3)
+    out = jnp.zeros((4, 3), jnp.float32)
+    # Rows: background (sum 0), fringe (sum 0.15), bright object (sum 1.5),
+    # just-above-threshold-but-below-fringe (sum 0.02).
+    tgt = jnp.asarray([[0.0, 0.0, 0.0], [0.05, 0.05, 0.05],
+                       [0.5, 0.5, 0.5], [0.01, 0.005, 0.005]], jnp.float32)
+    base = compute_loss(params, out, tgt, jnp.float32(0.0),
+                        cfg=LossConfig())
+    off = compute_loss(params, out, tgt, jnp.float32(0.0),
+                       cfg=LossConfig(fringe_weight=1.0))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(off))
+
+    on = compute_loss(params, out, tgt, jnp.float32(0.0),
+                      cfg=LossConfig(fringe_weight=5.0,
+                                     fringe_threshold=0.3))
+    # Extra loss = (5-1) * fg_weight * mean contribution of the two fringe
+    # rows' |diff| (rows 1 and 3; row 2 is above the fringe threshold).
+    fringe_l1 = (np.abs(np.asarray(tgt[1])).sum()
+                 + np.abs(np.asarray(tgt[3])).sum())
+    want_delta = 4.0 * 10.0 * fringe_l1 / tgt.size
+    np.testing.assert_allclose(float(on) - float(base), want_delta,
+                               rtol=1e-5)
