@@ -157,6 +157,16 @@ EXPERIMENTS["c5_fringe4"] = [
     "--steps", "1000", "--polish", "2",
     "--coverage", "gaussian", "--mask-sharp", "40",
     "--coverage-stages", "sigmoid,gaussian", "--fringe-weight", "4"]
+# c5_fringe4 WON (+0.26 over the hybrid-deep baseline): seed check + dose.
+for name, extra in (("c5_fringe4_s1", ["--fringe-weight", "4",
+                                       "--seed", "1"]),
+                    ("c5_fringe10", ["--fringe-weight", "10"])):
+    EXPERIMENTS[name] = [
+        "--data", "runs/c5/data", "--out", f"runs/{name}",
+        "--skip-ceiling", "--stages", "5", "--merge-cell", "0.04",
+        "--steps", "1000", "--polish", "2",
+        "--coverage", "gaussian", "--mask-sharp", "40",
+        "--coverage-stages", "sigmoid,gaussian"] + extra
 
 # The c4 recipe through the SHARDED driver on the real chip ((1,1) mesh):
 # PSNR parity vs runs/c4_r2 (26.10) + wall overhead at real step sizes.
