@@ -6,9 +6,9 @@ weighting, capacity) measured dead or tenths-of-a-dB: pathology 3 says
 sub-pixel geometry is effectively invisible to Adam. This prototypes the
 obvious derivative-FREE move: stochastic hill-climbing on (centers, radii)
 — perturb a random subset, keep the proposal iff the weighted-L1 loss on a
-fixed large fg-boosted ray batch improves. The whole proposal chain runs
-as ONE lax.scan program on-device; the final scene is kept only if full
-train-view PSNR improves (greedy at both levels).
+fixed large fg-boosted ray batch AND a disjoint held-out batch improve
+(train/refine.py — chunked lax.scan device programs); the final scene is
+kept only if full train-view PSNR improves (greedy at both levels).
 
 Usage:
   env JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_comp_cache_tpu \
@@ -61,8 +61,6 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     from burn_raymarching_tpu.config import TrainConfig
     from burn_raymarching_tpu.data.image_io import load_image_as_array
@@ -71,12 +69,9 @@ def main(argv=None):
         load_scene_json,
     )
     from burn_raymarching_tpu.models.scene import (
-        SceneParams,
-        activate,
         pad_params,
         raw_from_physical,
     )
-    from burn_raymarching_tpu.render.culled import render_diff_culled
     from burn_raymarching_tpu.train.evaluate import evaluate_views
     from burn_raymarching_tpu.train.loop import build_dataset
     from burn_raymarching_tpu.utils.padding import bucket_size
@@ -88,33 +83,23 @@ def main(argv=None):
                             ambient=float(scene["ambient_intensity"][0]))
     padded, mask = pad_params(raw, bucket_size(scene["num_spheres"]))
 
+    from burn_raymarching_tpu.config import RenderConfig
+    from burn_raymarching_tpu.train.refine import (
+        geometry_refine,
+        sample_fg_tile_batches,
+    )
+
     cfg = TrainConfig(width=args.size, height=args.size,
                       use_culling=True, cull_budget=args.budget,
                       dataset_order="morton", sample_mode="tile",
+                      min_smooth_k=128.0, max_smooth_k=128.0, seed=args.seed,
+                      render=RenderConfig(softmax_sharpness=40.0,
+                                          mask_sharpness=args.mask_sharp,
+                                          coverage_mode=args.coverage),
                       cameras_json=os.path.join(args.data, "cameras.json"))
     ds = build_dataset(cfg)
-
-    # Fixed fg-boosted tile batch for the proposal loss.
-    rng = np.random.default_rng(args.seed)
-    fg_t, n_t = ds.tile_fg(512)
-    fg_ids = np.asarray(fg_t)[: int(n_t)]
-    # Two DISJOINT fg tile batches: proposals are scored on A but accepted
-    # only if they also improve the held-out B — greedy hill-climbing on a
-    # single fixed 2%-of-dataset batch overfits it catastrophically
-    # (measured: batch loss −26%, full PSNR −1.5 dB).
-    n_pick = min(2 * args.rays_tiles, fg_ids.size)
-    pick = rng.choice(fg_ids, size=n_pick, replace=False)
-
-    def gather(tile_ids):
-        idx = (tile_ids[:, None] * 512
-               + np.arange(512)[None, :]).reshape(-1)
-        idx = np.sort(idx)
-        return (jnp.asarray(np.asarray(ds.rays_o)[idx]),
-                jnp.asarray(np.asarray(ds.rays_d)[idx]),
-                jnp.asarray(np.asarray(ds.targets)[idx]), idx)
-
-    ro, rd, tgt, idx = gather(pick[: args.rays_tiles])
-    ro_b, rd_b, tgt_b, _ = gather(pick[args.rays_tiles:])
+    batches = sample_fg_tile_batches(ds, tiles=args.rays_tiles,
+                                     seed=args.seed, tile=512)
 
     kern = None
     if jax.default_backend() == "tpu":
@@ -123,74 +108,6 @@ def main(argv=None):
         )
 
         kern = culled_march_normals_pallas
-
-    def _loss_on(params, ro_, rd_, tgt_):
-        c, col, r, ld, amb = activate(params)
-        out = render_diff_culled(
-            ro_, rd_, c, col, r, ld, amb, jnp.float32(128.0), mask=mask,
-            tile=512, k_budget=args.budget, softmax_sharpness=40.0,
-            mask_sharpness=args.mask_sharp, coverage_mode=args.coverage,
-            march_normal_fn=kern)
-        w = jnp.where(jnp.sum(tgt_, axis=1, keepdims=True) > 0.01,
-                      10.0, 5.0)
-        return jnp.mean(jnp.abs(out - tgt_) * w)
-
-    def batch_loss(params):
-        return _loss_on(params, ro, rd, tgt)
-
-    def holdout_loss(params):
-        return _loss_on(params, ro_b, rd_b, tgt_b)
-
-    live = jnp.asarray(mask, jnp.float32)[:, None]
-    # Proposals per device program: a 1024-iteration scan of the full
-    # culled forward crashed the TPU worker (program too large); chunk it.
-    CHUNK = 64
-
-    @jax.jit
-    def phase_chunk(params, best, best_b, key, sigma_scale):
-        r_phys = jax.nn.softplus(params.radii) + 0.01
-
-        def prop(carry, i):
-            params, best, best_b = carry
-            k = jax.random.fold_in(key, i)
-            k1, k2, k3 = jax.random.split(k, 3)
-            sel = (jax.random.uniform(k1, (params.centers.shape[0], 1))
-                   < args.frac).astype(jnp.float32) * live
-            nc = (jax.random.normal(k2, params.centers.shape)
-                  * args.sigma_c * sigma_scale * r_phys * sel)
-            nr = (jax.random.normal(k3, params.radii.shape)
-                  * args.sigma_r * sigma_scale * sel)
-            cand = SceneParams(centers=params.centers + nc,
-                               colors=params.colors,
-                               radii=params.radii + nr,
-                               light_dir=params.light_dir,
-                               ambient=params.ambient)
-            l_cand = batch_loss(cand)
-            l_cand_b = holdout_loss(cand)
-            # Accept only if BOTH the proposal batch and the held-out
-            # batch improve — the generalization gate.
-            acc = (l_cand < best) & (l_cand_b < best_b)
-            params = jax.tree.map(
-                lambda a, b: jnp.where(acc, b, a), params, cand)
-            best = jnp.where(acc, l_cand, best)
-            best_b = jnp.where(acc, l_cand_b, best_b)
-            return (params, best, best_b), acc
-
-        (params, best, best_b), accs = jax.lax.scan(
-            prop, (params, best, best_b), jnp.arange(CHUNK))
-        return params, best, best_b, jnp.sum(accs)
-
-    def phase(params, key, sigma_scale):
-        best = jax.jit(batch_loss)(params)
-        best_b = jax.jit(holdout_loss)(params)
-        best0 = best
-        n_acc = 0
-        for c in range(max(args.props // CHUNK, 1)):
-            key, sub = jax.random.split(key)
-            params, best, best_b, acc = phase_chunk(params, best, best_b,
-                                                    sub, sigma_scale)
-            n_acc += int(acc)
-        return params, best0, best, n_acc
 
     cams = load_cameras(cfg.cameras_json)
     tgts = [load_image_as_array(c["file"]) for c in cams]
@@ -207,15 +124,14 @@ def main(argv=None):
 
     psnr0 = full_psnr(padded)
     print(f"baseline PSNR {psnr0:.3f}", flush=True)
-    cur = padded
-    key = jax.random.PRNGKey(args.seed)
     t0 = time.perf_counter()
-    for ph in range(args.phases):
-        key, sub = jax.random.split(key)
-        cur, l0, l1, n_acc = phase(cur, sub, jnp.float32(0.5 ** ph))
-        print(f"phase {ph}: loss {float(l0):.5f} -> {float(l1):.5f}, "
-              f"accepted {int(n_acc)}/{args.props} "
-              f"[{time.perf_counter() - t0:.0f}s]", flush=True)
+    cur, stats = geometry_refine(
+        padded, mask, batches, cfg, kern=kern, proposals=args.props,
+        phases=args.phases, frac=args.frac, sigma_c=args.sigma_c,
+        sigma_r=args.sigma_r, key=jax.random.PRNGKey(args.seed))
+    print(f"refine: loss {stats.loss_before:.5f} -> {stats.loss_after:.5f},"
+          f" accepted {stats.accepted}/{stats.proposals} "
+          f"[{time.perf_counter() - t0:.0f}s]", flush=True)
     psnr1 = full_psnr(cur)
     kept = psnr1 > psnr0
     print(f"jiggled PSNR {psnr1:.3f} ({'KEPT' if kept else 'reverted'})",
@@ -224,7 +140,7 @@ def main(argv=None):
            "jiggled_psnr": round(psnr1, 3), "kept": bool(kept),
            "props": args.props, "phases": args.phases, "frac": args.frac,
            "sigma_c": args.sigma_c, "sigma_r": args.sigma_r,
-           "rays": int(idx.size)}
+           "rays": int(batches[0][0].shape[0])}
     with open(os.path.join(args.run, "geom_jiggle.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
