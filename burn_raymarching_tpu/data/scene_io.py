@@ -37,6 +37,10 @@ def load_cameras(path: str) -> list[dict]:
     for c in cams:
         assert {"file", "origin", "target", "fov"} <= set(c), c
         fp = c["file"]
+        if os.path.isabs(fp) and not os.path.exists(fp):
+            # Absolute-but-missing paths get the same fail-at-load-time
+            # treatment as relative ones (ADVICE r3).
+            raise FileNotFoundError(f"cameras.json entry {fp!r} not found")
         if not os.path.isabs(fp) and not os.path.exists(fp):
             cands = (os.path.join(json_dir, fp),
                      os.path.join(root, fp),

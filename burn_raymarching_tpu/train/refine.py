@@ -57,8 +57,14 @@ def sample_fg_tile_batches(dataset, tiles: int, seed: int = 0,
     rng = np.random.default_rng(seed)
     fg_t, n_t = dataset.tile_fg(tile)
     fg_ids = np.asarray(fg_t)[: int(n_t)]
-    pick = rng.choice(fg_ids, size=min(n_batches * tiles, fg_ids.size),
-                      replace=False)
+    if fg_ids.size < n_batches:
+        raise ValueError(
+            f"dataset has {fg_ids.size} fg tiles < n_batches ({n_batches})")
+    # Underfilled pools would leave the hold-out batch short or empty (an
+    # empty batch NaNs the acceptance mean → silent no-op, ADVICE r3):
+    # divide what is available evenly instead.
+    tiles = min(tiles, fg_ids.size // n_batches)
+    pick = rng.choice(fg_ids, size=n_batches * tiles, replace=False)
     out = []
     for b in range(n_batches):
         ids = pick[b * tiles:(b + 1) * tiles]

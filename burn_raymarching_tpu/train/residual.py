@@ -119,8 +119,18 @@ def primitive_residual_scores(
     ds = getattr(dataset, "base", dataset)   # ShardedRayDataset → base
     if max_pixels is None:
         max_pixels = cfg.density.split_score_pixels
+    if cfg.batch_size < cfg.cull_tile:
+        raise ValueError(
+            f"residual scoring needs batch_size ({cfg.batch_size}) >= "
+            f"cull_tile ({cfg.cull_tile})")
     chunk = (cfg.batch_size // cfg.cull_tile) * cfg.cull_tile
     n = ds.num_total_pixels
+    # Datasets smaller than one batch (smoke tests): clamp the slice to a
+    # whole-tile prefix of the available pixels (ADVICE r3).
+    chunk = min(chunk, (n // cfg.cull_tile) * cfg.cull_tile)
+    if chunk == 0:
+        raise ValueError(
+            f"dataset has {n} pixels < one cull tile ({cfg.cull_tile})")
     n_chunks = max(n // chunk, 1)
     want = max(int(np.ceil(max_pixels / chunk)), 1)
     stride = max(n_chunks // want, 1)
