@@ -470,6 +470,91 @@ class Trainer:
                                            "final_polished.png"))
         return padded, mask
 
+    def refine_geometry(
+        self,
+        padded: SceneParams,
+        mask: jax.Array,
+        rounds: int = 1,
+        proposals: int = 768,
+        phases: int = 3,
+        frac: float = 0.05,
+        tiles: int = 512,
+        key: Optional[jax.Array] = None,
+        export: bool = True,
+        cameras: Optional[list] = None,
+        targets: Optional[list] = None,
+    ) -> tuple[SceneParams, jax.Array]:
+        """Derivative-free geometry refinement, greedily PSNR-gated.
+
+        Runs train/refine.geometry_refine (stochastic hill-climbing on
+        centers/radii against two disjoint fg-tile ray batches) and keeps a
+        round only if mean train-view PSNR improves — the same
+        never-regress contract as ``polish``. Each round samples FRESH
+        acceptance batches, so later rounds can move primitives the earlier
+        batches did not constrain. Measured on the committed round-3
+        scenes: c4 27.62 → 27.95, c5 +0.09 (scripts/exp_geom_jiggle.py,
+        runs/*/refine.json). No reference counterpart (its 6-7 fat spheres
+        never reach this regime) — TPU-native addition.
+
+        Requires the tile-culled configuration (the regime it exists for:
+        compact many-primitive clouds trained with use_culling).
+        """
+        from burn_raymarching_tpu.train.evaluate import evaluate_views
+        from burn_raymarching_tpu.train.refine import (
+            geometry_refine,
+            sample_fg_tile_batches,
+        )
+
+        cfg = self.cfg
+        if not cfg.use_culling or cfg.dataset_order != "morton":
+            raise ValueError(
+                "refine_geometry needs use_culling + dataset_order='morton' "
+                "(fg-tile acceptance batches + the culled renderer)")
+        if key is None:
+            key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 0xEF1E)
+        if cameras is None:
+            cameras = load_cameras(cfg.cameras_json)
+            targets = [load_image_as_array(c["file"]) for c in cameras]
+
+        def psnr(p, m):
+            return evaluate_views(
+                p, cameras, targets, cfg.width, cfg.height, mask=m,
+                smooth_k=cfg.max_smooth_k,
+                march_fn=self.march_fn,
+                march_normal_fn=self.march_normal_fn,
+                softmax_sharpness=cfg.render.softmax_sharpness,
+                mask_sharpness=cfg.render.mask_sharpness,
+                cull=self._cull_render(),
+                mask_pixel_mult=cfg.render.mask_pixel_mult,
+                pixel_angle=cfg.render.pixel_angle,
+                coverage_mode=cfg.render.coverage_mode)["mean"]
+
+        best_psnr = psnr(padded, mask)
+        self.log(f"Refine baseline: PSNR {best_psnr:.2f}")
+        ds = getattr(self.dataset, "base", self.dataset)
+        for r in range(rounds):
+            key, sub = jax.random.split(key)
+            batches = sample_fg_tile_batches(
+                ds, tiles=tiles, seed=cfg.seed + 7919 * (r + 1),
+                tile=cfg.cull_tile)
+            cand, stats = geometry_refine(
+                padded, mask, batches, cfg,
+                kern=self.culled_march_normal_fn,
+                proposals=proposals, phases=phases, frac=frac,
+                key=sub, log=self.log)
+            cand_psnr = psnr(cand, mask)
+            kept = cand_psnr > best_psnr
+            self.log(f"=== Refine round {r + 1}/{rounds}: PSNR "
+                     f"{cand_psnr:.2f} ({stats.accepted}/{stats.proposals} "
+                     f"proposals, {'kept' if kept else 'reverted'}) ===")
+            if kept:
+                best_psnr, padded = cand_psnr, cand
+        if export and self._io:
+            export_scene_json(padded, cfg.scene_json, mask=np.asarray(mask))
+            self.log(f"  => Saved refined scene to {cfg.scene_json} "
+                     f"(PSNR {best_psnr:.2f})")
+        return padded, mask
+
     def prefill_t_cache(self, padded, mask, smooth_k):
         """Full cold march over every dataset pixel → fresh t cache.
 

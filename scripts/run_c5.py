@@ -140,6 +140,12 @@ def main(argv=None):
                    help="greedy post-final refinement rounds "
                    "(Trainer.polish; kept only if train-view PSNR "
                    "improves)")
+    p.add_argument("--refine", type=int, default=0, metavar="R",
+                   help="after polish: R rounds of derivative-free "
+                   "geometry refinement (Trainer.refine_geometry, "
+                   "PSNR-gated)")
+    p.add_argument("--refine-proposals", dest="refine_proposals", type=int,
+                   default=768)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (JAX_PLATFORMS env is "
                    "unreliable under the axon site hook)")
@@ -335,6 +341,11 @@ def main(argv=None):
         padded, mask = trainer.polish(padded, mask, rounds=args.polish,
                                       cameras=cams, targets=tgts,
                                       export=True)
+    if args.refine:
+        padded, mask = trainer.refine_geometry(
+            padded, mask, rounds=args.refine,
+            proposals=args.refine_proposals,
+            cameras=cams, targets=tgts, export=True)
     results["train_wall_s"] = round(time.perf_counter() - t0, 1)
     t0 = time.perf_counter()
     results["trained"] = psnr(padded, mask, trainer._cull_render())
@@ -352,7 +363,8 @@ def main(argv=None):
                    prior=args.prior, cull_budget=args.cull_budget,
                    sample_mode=args.sample_mode, hier=args.hier,
                    mask_px=args.mask_px, mask_sharp=args.mask_sharp,
-                   polish=args.polish, coverage=args.coverage,
+                   polish=args.polish, refine=args.refine,
+                   coverage=args.coverage,
                    coverage_stages=args.coverage_stages,
                    mask_sharp_stages=args.mask_sharp_stages,
                    fringe_weight=args.fringe_weight,
