@@ -169,6 +169,35 @@ def make_sharded_train_step(
     return step
 
 
+def opt_state_specs(tx, model_sharded: bool):
+    """PartitionSpec pytree for the optimizer state of a SceneParams tree.
+
+    Derived structurally via eval_shape on a dummy params tree: every 2-D
+    leaf of the state is a per-primitive moment buffer (mu/nu mirror the
+    params tree — centers/colors [M,3], radii [M,1]) and shards with the
+    model axis; 1-D leaves (light_dir/ambient moments) and scalars (Adam's
+    count) are replicated. The dummy M is irrelevant — only the tree
+    structure and leaf ranks matter.
+    """
+    dummy = SceneParams(
+        centers=jax.ShapeDtypeStruct((8, 3), jnp.float32),
+        colors=jax.ShapeDtypeStruct((8, 3), jnp.float32),
+        radii=jax.ShapeDtypeStruct((8, 1), jnp.float32),
+        light_dir=jax.ShapeDtypeStruct((3,), jnp.float32),
+        ambient=jax.ShapeDtypeStruct((1,), jnp.float32),
+    )
+    struct = jax.eval_shape(tx.init, dummy)
+
+    def leaf_spec(leaf):
+        if leaf.ndim == 2:
+            return P("model", None) if model_sharded else P(None, None)
+        if leaf.ndim == 1:
+            return P(None)
+        return P()
+
+    return jax.tree.map(leaf_spec, struct)
+
+
 def make_sharded_chunk_runner(
     cfg: TrainConfig,
     mesh: Mesh,
@@ -188,9 +217,16 @@ def make_sharded_chunk_runner(
     identical per-step body (train/step_body.make_device_step — warm-start
     cache, tile culling, fused kernels where a single device owns its
     tables, in-graph anneals) runs under shard_map over the (data, model)
-    mesh, the optimizer update runs outside shard_map (elementwise over
-    already-sharded leaves — XLA keeps it local), and lax.scan chains the
-    steps so a 100-step chunk costs one dispatch. Expected layouts:
+    mesh, and the ENTIRE scan chunk — including the Adam update — lives
+    inside one shard_map region. Round 3 ran the optimizer outside with a
+    shard_map boundary per scan step; that boundary materialized the grads
+    tree every step instead of fusing it into Adam, costing a fixed
+    ~3 ms/step (+36% wall on config-1-sized steps, runs/r3_hw:dist_parity).
+    With the scan inside, the program crosses the boundary once per CHUNK
+    and grads stay fused. The update is elementwise on already-sharded
+    leaves; grads are pmean'd over the data axis first, so every data
+    replica computes the identical update (opt_state stays consistent).
+    Expected layouts:
 
       params/opt_state  — model-sharded rows (or replicated when model=1)
       mask              — P("model")
@@ -233,33 +269,18 @@ def make_sharded_chunk_runner(
     pspec = param_specs(model_sharded)
     mask_spec = P("model") if model_sharded else P(None)
     cl_spec = P("model", None) if model_sharded else P(None, None)
+    opt_spec = opt_state_specs(tx, model_sharded)
 
-    def dev(params, key, i, stage, step0, mask, packed, fgi, nfg, t_cache,
-            cl_idx, cl_valid):
-        # [1, P_local] / [1] leading data-shard dims → local views.
-        return device_step(params, key, i, stage, step0, mask, packed,
-                           fgi[0], nfg[0], t_cache, cl_idx, cl_valid)
-
-    sharded_step = jax.shard_map(
-        dev,
-        mesh=mesh,
-        in_specs=(pspec, P(), P(), P(), P(), mask_spec, P("data", None),
-                  P("data", None), P("data"), P("data"), cl_spec, cl_spec),
-        # loss/lr are pmean'd / identically derived → replicated.
-        out_specs=(P(), pspec, P("data"), P()),
-        check_vma=False,
-    )
-
-    @jax.jit
-    def run_chunk(params, opt_state, key, mask, packed, fgi, nfg, t_cache,
+    def dev_chunk(params, opt_state, key, mask, packed, fgi, nfg, t_cache,
                   stage, step0, cl_idx, cl_valid):
+        # fgi/nfg keep a length-1 leading data-shard dim → local views.
         lr_scales = lr_scale_tree(cfg, stage)
 
         def one_step(carry, i):
             params, opt_state, t_cache = carry
             k = jax.random.fold_in(key, i)
-            loss, grads, t_cache, lr = sharded_step(
-                params, k, i, stage, step0, mask, packed, fgi, nfg,
+            loss, grads, t_cache, lr = device_step(
+                params, k, i, stage, step0, mask, packed, fgi[0], nfg[0],
                 t_cache, cl_idx, cl_valid)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = jax.tree.map(lambda p, u, s: p - lr * s * u, params,
@@ -270,6 +291,17 @@ def make_sharded_chunk_runner(
             one_step, (params, opt_state, t_cache), jnp.arange(chunk),
             unroll=cfg.scan_unroll)
         return params, opt_state, t_cache, losses
+
+    run_chunk = jax.jit(jax.shard_map(
+        dev_chunk,
+        mesh=mesh,
+        in_specs=(pspec, opt_spec, P(), mask_spec, P("data", None),
+                  P("data", None), P("data"), P("data"), P(), P(),
+                  cl_spec, cl_spec),
+        # losses are pmean'd per step → replicated.
+        out_specs=(pspec, opt_spec, P("data"), P()),
+        check_vma=False,
+    ))
 
     return run_chunk
 
