@@ -248,6 +248,20 @@ class TrainConfig:
     # [M, M] matrix alone costs ~85 ms/step on one v5e. Uses the same
     # cluster table as cull_hierarchical.
     cluster_repulsion: bool = False
+    # In-run stage guard (TPU-native extension, default OFF = reference
+    # parity): the density-control trajectory is stochastic and ~2/10
+    # turbo seeds collapse mid-run with runaway splitting (final N 10-12
+    # vs 6-7, 24-30 dB — runs/r3_hw:turbo_seeds). The guard evaluates
+    # train-view PSNR before and after each stage's optimization (both
+    # under the FINAL render config, so the scale is stage-invariant) and
+    # re-runs a stage with a fresh restart key when it fails to improve by
+    # stage_guard_min_gain_db (up to stage_guard_retries retries, keeping
+    # the best candidate either way). This turns the --best-of N
+    # brute-force mitigation into an in-run check that only pays for
+    # retries when a stage actually went bad.
+    stage_guard: bool = False
+    stage_guard_retries: int = 2
+    stage_guard_min_gain_db: float = 0.0
     dataset_order: str = "raster"    # "raster" | "morton"
     # Batch construction: "pixel" = the reference's i.i.d. pixel sampler
     # (dataset.rs:47-82). "tile" = sample whole cull_tile-sized Morton

@@ -37,6 +37,9 @@ def build_config(args) -> "TrainConfig":
     if args.turbo:
         overrides["warm_start"] = True
         overrides["use_fused_shade"] = True
+    if getattr(args, "stage_guard", False):
+        overrides["stage_guard"] = True
+        overrides["stage_guard_retries"] = args.stage_guard_retries
     if args.warm_steps:
         overrides["warm_steps"] = args.warm_steps
     if args.cull:
@@ -156,6 +159,16 @@ def main(argv=None):
                         help="two-level culling: cluster bounding spheres "
                              "first (budget CB clusters/tile), per-primitive "
                              "top-K only over their members (requires --cull)")
+    parser.add_argument("--stage-guard", dest="stage_guard",
+                        action="store_true",
+                        help="in-run collapse guard: re-run a stage (fresh "
+                             "restart key, up to --stage-guard-retries) "
+                             "when it fails to improve train-view PSNR — "
+                             "catches the runaway-split collapse ~2/10 "
+                             "turbo seeds hit, without --best-of's N-full-"
+                             "run cost")
+    parser.add_argument("--stage-guard-retries", dest="stage_guard_retries",
+                        type=int, default=2)
     parser.add_argument("--best-of", dest="best_of", type=int, default=1,
                         metavar="N",
                         help="train N seeds and export the best by PSNR on "

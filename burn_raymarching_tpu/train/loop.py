@@ -664,6 +664,80 @@ class Trainer:
         save_array_as_image(img, cfg.width, cfg.height, path)
         self.log(f"Saved image to {path}")
 
+    # --- stage guard (config.stage_guard) ------------------------------- #
+
+    _guard_eval = None
+
+    def _guard_psnr(self, padded: SceneParams, mask: jax.Array) -> float:
+        """Mean train-view PSNR under the FINAL render config — the
+        stage-invariant health metric the in-run guard compares."""
+        from burn_raymarching_tpu.train.evaluate import evaluate_views
+
+        cfg = self.cfg
+        if self._guard_eval is None:
+            cams = load_cameras(cfg.cameras_json)
+            tgts = [load_image_as_array(c["file"]) for c in cams]
+            self._guard_eval = (cams, tgts)
+        cams, tgts = self._guard_eval
+        return evaluate_views(
+            padded, cams, tgts, cfg.width, cfg.height, mask=mask,
+            smooth_k=cfg.max_smooth_k,
+            march_fn=self.march_fn,
+            march_normal_fn=self.march_normal_fn,
+            softmax_sharpness=cfg.render.softmax_sharpness,
+            mask_sharpness=cfg.render.mask_sharpness,
+            cull=self._cull_render(),
+            mask_pixel_mult=cfg.render.mask_pixel_mult,
+            pixel_angle=cfg.render.pixel_angle,
+            coverage_mode=cfg.render.coverage_mode)["mean"]
+
+    def _run_stage_guarded(
+        self,
+        params: SceneParams,
+        stage: int,
+        key: jax.Array,
+    ) -> tuple[SceneParams, jax.Array, jax.Array]:
+        """run_stage with the in-run collapse guard (config.stage_guard).
+
+        The stochastic density-control trajectory occasionally collapses a
+        run mid-stage (runaway splitting: runs/r3_hw:turbo_seeds — 2/10
+        turbo seeds end 24-30 dB with N 10-12 instead of 32.8-33.05 with
+        N 6-7). The failure is visible IN-RUN as a stage that fails to
+        improve train-view PSNR; instead of requiring --best-of N full
+        runs, re-run just that stage from its entry params with a fresh
+        restart key. The best candidate is kept even if every attempt
+        fails the bar, so the guard never returns something worse than
+        unguarded. No reference counterpart (its committed scene is itself
+        one selected run of the same stochastic pipeline;
+        training.rs:191-199 is the stochastic split)."""
+        cfg = self.cfg
+        m_pad = self._bucket(params.n)
+        pre_padded, pre_mask = self._place(*pad_params(params, m_pad))
+        psnr_pre = self._guard_psnr(pre_padded, pre_mask)
+        best = None
+        for attempt in range(cfg.stage_guard_retries + 1):
+            attempt_key = (key if attempt == 0
+                           else jax.random.fold_in(key, 0xBAD0 + attempt))
+            padded, mask, loss = self.run_stage(params, stage, attempt_key)
+            psnr_post = self._guard_psnr(padded, mask)
+            if best is None or psnr_post > best[0]:
+                best = (psnr_post, padded, mask, loss)
+            if psnr_post >= psnr_pre + cfg.stage_guard_min_gain_db:
+                if attempt:
+                    self.log(f"  stage guard: retry {attempt} recovered "
+                             f"(PSNR {psnr_post:.2f} >= {psnr_pre:.2f})")
+                break
+            self.log(f"  !! stage guard: stage {stage} PSNR {psnr_post:.2f} "
+                     f"< pre-stage {psnr_pre:.2f} "
+                     f"+ {cfg.stage_guard_min_gain_db:g} — "
+                     f"{'retrying' if attempt < cfg.stage_guard_retries else 'keeping best attempt'} "
+                     f"({attempt + 1}/{cfg.stage_guard_retries + 1})")
+            self.metrics.log(stage=stage, guard_psnr_pre=round(psnr_pre, 3),
+                             guard_psnr_post=round(psnr_post, 3),
+                             guard_attempt=attempt)
+        _, padded, mask, loss = best
+        return padded, mask, loss
+
     def _ckpt_path(self, stage: int) -> Optional[str]:
         if not self.cfg.checkpoint_dir:
             return None
@@ -751,7 +825,10 @@ class Trainer:
             params = self._prepare_stage_params(params)
             stage_init_centers = np.asarray(params.centers)
             key, sub = jax.random.split(key)
-            padded, mask, _ = self.run_stage(params, stage, sub)
+            if cfg.stage_guard:
+                padded, mask, _ = self._run_stage_guarded(params, stage, sub)
+            else:
+                padded, mask, _ = self.run_stage(params, stage, sub)
 
             if stage == cfg.stages - 1:
                 self.log("🎉 Final Stage Complete! Exporting results...")
