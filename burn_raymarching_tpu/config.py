@@ -47,6 +47,20 @@ class RenderConfig:
     # gradient topology is unchanged (coverage is still a function of the
     # reattached scene distance only).
     coverage_mode: str = "sigmoid"
+    # Pixel-footprint-INTEGRATED training forward (TPU-native extension,
+    # default 1 = the reference's point-sampled renderer): render each
+    # training pixel as `supersample` sub-pixel-jittered rays (fixed
+    # cell-centered grid over the pixel footprint, derived from
+    # pixel_angle) and average the PREDICTION before the loss. The
+    # round-3 error decomposition pins 69-84% of residual error to a
+    # ±2 px silhouette band where point-sampled coverage makes sub-pixel
+    # geometry first-order invisible (pathology 3); area-averaging gives
+    # the silhouette a gradient from the whole footprint. Costs
+    # supersample× field evaluations per unique pixel (the step keeps its
+    # TOTAL ray count: batch/supersample unique pixels per step). Meant to
+    # be ANNEALED per stage via TrainConfig.supersample_stages, ending at
+    # 1 so the trained forward matches the point-sampled evaluator.
+    supersample: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -179,6 +193,21 @@ class TrainConfig:
     # representational ceiling. One jitted step program per distinct
     # (coverage, sharpness) pair.
     mask_sharpness_stages: tuple = ()
+    # Per-STAGE supersample factor (empty = the constant
+    # render.supersample; same clamping/indexing as the other stage
+    # schedules). The silhouette-band optimization lever: middle stages
+    # train against the pixel-footprint-averaged forward, the last
+    # stage(s) anneal back to 1 = the point-sampled evaluator's forward
+    # (the Trainer validates the schedule ends at render.supersample).
+    supersample_stages: tuple = ()
+    # Per-STAGE mask_pixel_mult (empty = the constant
+    # render.mask_pixel_mult). The ANALYTIC pixel-area arm: a mid-run
+    # stage can train under a coverage whose transition width is pinned to
+    # the pixel footprint (sigmoid family + high mask_sharpness so the
+    # pixel term binds — w = max(1/sharpness, mult*pixel_angle*t)), then
+    # anneal back to the point-sampled family the targets were rendered
+    # with. Must end at render.mask_pixel_mult.
+    mask_px_stages: tuple = ()
     # Per-STAGE override of lr_scale_centers (empty = constant). The
     # committed compact-cloud recipes choose lr_scale_centers for the
     # ~25-deep stacked init; after the stage-1 overlap merge collapses the

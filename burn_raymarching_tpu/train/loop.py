@@ -128,6 +128,28 @@ class Trainer:
                 f"{cfg.mask_sharpness_stages[-1]} but render.mask_sharpness "
                 f"(used by eval/preview/polish/export) is "
                 f"{cfg.render.mask_sharpness} — they must agree")
+        if (cfg.supersample_stages
+                and int(cfg.supersample_stages[-1]) != cfg.render.supersample):
+            raise ValueError(
+                f"supersample_stages ends with {cfg.supersample_stages[-1]} "
+                f"but render.supersample is {cfg.render.supersample} — the "
+                f"schedule must end at the forward the point-sampled "
+                f"evaluator measures")
+        if (cfg.mask_px_stages
+                and float(cfg.mask_px_stages[-1])
+                != cfg.render.mask_pixel_mult):
+            raise ValueError(
+                f"mask_px_stages ends with {cfg.mask_px_stages[-1]} but "
+                f"render.mask_pixel_mult is {cfg.render.mask_pixel_mult} — "
+                f"they must agree")
+        _needs_px = (cfg.render.supersample > 1
+                     or any(int(s) > 1 for s in cfg.supersample_stages)
+                     or any(float(m) > 0 for m in cfg.mask_px_stages))
+        if _needs_px and cfg.render.pixel_angle <= 0.0:
+            raise ValueError(
+                "supersample/mask_px stages need render.pixel_angle "
+                "(2*tan(fov/2)/height) — without it the pixel footprint "
+                "is undefined")
         self._io = True   # subclasses gate file writes to host 0
         self.march_normal_fn = None
         self.culled_march_normal_fn = None
@@ -245,6 +267,12 @@ class Trainer:
         if sched:
             out["mask_sharpness"] = float(
                 sched[min(stage, len(sched) - 1)])
+        sched = self.cfg.supersample_stages
+        if sched:
+            out["supersample"] = int(sched[min(stage, len(sched) - 1)])
+        sched = self.cfg.mask_px_stages
+        if sched:
+            out["mask_pixel_mult"] = float(sched[min(stage, len(sched) - 1)])
         return out
 
     def _step_for_stage(self, stage: int):

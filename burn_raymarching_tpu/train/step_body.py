@@ -28,6 +28,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from burn_raymarching_tpu.config import TrainConfig
 from burn_raymarching_tpu.data.dataset import gather_batch, sample_batch_indices
@@ -77,6 +78,51 @@ def schedule_for_step(cfg: TrainConfig, stage, step):
     lr = jnp.where(step > half_stage, base_lr * cfg.lr_midstage_factor,
                    base_lr)
     return progress, smooth_k, uniform_ratio, lr
+
+
+def subpixel_offsets(ss: int) -> np.ndarray:
+    """[ss, 2] fixed sub-pixel sample offsets in [-0.5, 0.5) pixel units.
+
+    Cell-centered regular grid for perfect squares (the variance-optimal
+    pattern for an area integral), golden-ratio lattice otherwise — both
+    deterministic, so the supersampled forward is a fixed quadrature of
+    the pixel footprint rather than per-step noise.
+    """
+    g = int(round(ss ** 0.5))
+    if g * g == ss:
+        xs = (np.arange(g) + 0.5) / g - 0.5
+        u, v = np.meshgrid(xs, xs)
+        return np.stack([u.reshape(-1), v.reshape(-1)], axis=1)
+    i = np.arange(ss, dtype=np.float64) + 0.5
+    return np.stack([i / ss - 0.5, (i * 0.6180339887498949) % 1.0 - 0.5],
+                    axis=1)
+
+
+def expand_subpixel(ro: jax.Array, rd: jax.Array, ss: int,
+                    pixel_angle: float) -> tuple[jax.Array, jax.Array]:
+    """[N,3] rays → [N*ss,3]: each ray becomes ``ss`` copies jittered over
+    its pixel footprint (``pixel_angle`` radians square), pixel-major so
+    sub-rays of one pixel stay adjacent (cull tiles keep their cones).
+
+    The offsets are applied along an orthonormal basis perpendicular to
+    the ray itself rather than the camera's exact image axes — the rays in
+    the packed dataset carry no camera id, and for the area integral only
+    the footprint's size matters, not its in-plane orientation (≤cos(fov/2)
+    scale error off-axis). Sub-ray directions are re-normalized.
+    """
+    off = jnp.asarray(subpixel_offsets(ss) * pixel_angle, rd.dtype)  # [ss,2]
+    up = jnp.where(jnp.abs(rd[:, 1:2]) < 0.9,
+                   jnp.asarray([0.0, 1.0, 0.0], rd.dtype)[None, :],
+                   jnp.asarray([1.0, 0.0, 0.0], rd.dtype)[None, :])
+    e1 = jnp.cross(rd, up)
+    e1 = e1 / jnp.sqrt(jnp.sum(e1 * e1, axis=1, keepdims=True))
+    e2 = jnp.cross(rd, e1)      # unit: rd, e1 orthonormal
+    rdj = (rd[:, None, :]
+           + off[None, :, 0, None] * e1[:, None, :]
+           + off[None, :, 1, None] * e2[:, None, :])    # [N, ss, 3]
+    rdj = rdj / jnp.sqrt(jnp.sum(rdj * rdj, axis=2, keepdims=True))
+    roj = jnp.broadcast_to(ro[:, None, :], rdj.shape)
+    return roj.reshape(-1, 3), rdj.reshape(-1, 3)
 
 
 def make_device_step(
@@ -137,20 +183,37 @@ def make_device_step(
             # identically to the single-chip driver — the exact-equivalence
             # hook the tests use.)
             key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
+        rc = cfg.render
+        # Pixel-footprint supersampling (RenderConfig.supersample): sample
+        # batch/ss UNIQUE pixels, expand each into ss sub-pixel-jittered
+        # rays (total ray count unchanged), average the prediction per
+        # pixel before the loss. ss == 1 is the reference's point-sampled
+        # step, bit-for-bit.
+        ss = int(rc.supersample)
+        if ss > 1 and batch % ss:
+            raise ValueError(f"batch ({batch}) must divide by "
+                             f"supersample ({ss})")
+        n_unique = batch // ss
         if cfg.sample_mode == "tile":
             # Whole-Morton-block sampling: fg_indices/n_fg arrive at TILE
             # granularity (RayDataset.tile_fg); every sampled tile expands
             # to its cull_tile consecutive pixels, so each cull tile is one
             # compact single-view pixel block regardless of view count.
             tile = cfg.cull_tile
+            if n_unique % tile:
+                raise ValueError(
+                    f"unique pixels/step ({n_unique}) must divide by "
+                    f"cull_tile ({tile}) — with supersample, batch must be "
+                    f"a multiple of supersample * cull_tile")
             tid = sample_batch_indices(
                 key, packed.shape[0] // tile, fg_indices, n_fg,
-                batch // tile, uniform_ratio)
+                n_unique // tile, uniform_ratio)
             idx = (tid[:, None] * tile
                    + jnp.arange(tile, dtype=jnp.int32)[None, :]).reshape(-1)
         else:
             idx = sample_batch_indices(
-                key, packed.shape[0], fg_indices, n_fg, batch, uniform_ratio)
+                key, packed.shape[0], fg_indices, n_fg, n_unique,
+                uniform_ratio)
         if cfg.use_culling:
             # Sorted indices → tile-coherent rays. A with-replacement
             # sample is order-free, so the loss is unchanged. (Tile-mode
@@ -158,9 +221,12 @@ def make_device_step(
             # every cull_tile window a single block.)
             idx = jnp.sort(idx)
         ro, rd, tgt = gather_batch(packed, idx)
+        if ss > 1:
+            # Sub-rays are pixel-major-adjacent, so sorted unique pixels
+            # stay tile-coherent after expansion; tgt stays per-pixel.
+            ro, rd = expand_subpixel(ro, rd, ss, rc.pixel_angle)
 
         mn_fn = march_normal_fn
-        rc = cfg.render
         # The fused shade kernel hard-codes the reference's compositor
         # constants and single-device tables; non-default sharpness
         # (fine-structure scenes) and M-sharded runs route through the
@@ -215,13 +281,20 @@ def make_device_step(
                     else lambda *a, **kw: culled_march_normals_xla(
                         *a, model_axis=model_axis, **kw))
             if warm:
-                t0 = (jnp.take(t_cache, idx) * cfg.warm_backoff
-                      ).reshape(b_t, cfg.cull_tile, 1)
+                t0_flat = jnp.take(t_cache, idx) * cfg.warm_backoff
+                if ss > 1:
+                    # One cached root per PIXEL: sub-rays share the warm
+                    # start, the cache takes back their mean root.
+                    t0_flat = jnp.repeat(t0_flat, ss)
+                t0 = t0_flat.reshape(b_t, cfg.cull_tile, 1)
                 t, normal = kern(
                     ro3, rd3, cs_t, rs_t, qs_t, smooth_k,
                     num_steps=cfg.warm_steps,
                     normal_eps=rc.normal_eps, t_init=t0)
-                t_cache = t_cache.at[idx].set(t.reshape(-1))
+                t_new = t.reshape(-1)
+                if ss > 1:
+                    t_new = jnp.mean(t_new.reshape(-1, ss), axis=1)
+                t_cache = t_cache.at[idx].set(t_new)
             else:
                 t, normal = kern(
                     ro3, rd3, cs_t, rs_t, qs_t, smooth_k,
@@ -237,10 +310,15 @@ def make_device_step(
                 jax.lax.stop_gradient(params))
             if warm:
                 t0 = (jnp.take(t_cache, idx)[:, None] * cfg.warm_backoff)
+                if ss > 1:
+                    t0 = jnp.repeat(t0, ss, axis=0)
                 t, normal = march_normal_fn(
                     ro, rd, centers_p, radii_p, smooth_k, mask=mask,
                     num_steps=cfg.warm_steps, t_init=t0)
-                t_cache = t_cache.at[idx].set(t[:, 0])
+                t_new = t[:, 0]
+                if ss > 1:
+                    t_new = jnp.mean(t_new.reshape(-1, ss), axis=1)
+                t_cache = t_cache.at[idx].set(t_new)
             else:
                 t, normal = march_normal_fn(
                     ro, rd, centers_p, radii_p, smooth_k, mask=mask)
@@ -290,6 +368,11 @@ def make_device_step(
                                     mask_pixel_mult=rc.mask_pixel_mult,
                                     pixel_angle=rc.pixel_angle,
                                     coverage_mode=rc.coverage_mode)
+            if ss > 1:
+                # Pixel-footprint integral: average the ss sub-ray
+                # predictions per pixel; the loss compares the averaged
+                # prediction against the per-pixel target.
+                out = jnp.mean(out.reshape(n_unique, ss, 3), axis=1)
             return compute_loss(
                 p, out, tgt, progress, mask=mask, cfg=cfg.loss,
                 model_axis=model_axis,

@@ -107,6 +107,16 @@ def main(argv=None):
                    "(coarse-to-fine annealing: soft early stages widen the "
                    "pathology-3 geometry basins; last entry clamps and "
                    "should equal --mask-sharp, which eval uses)")
+    p.add_argument("--ss-stages", dest="ss_stages", default="",
+                   help="per-stage pixel-footprint supersample factor, "
+                   "comma list ending in 1 (e.g. 1,4,4,4,1): middle "
+                   "stages train against the footprint-averaged forward "
+                   "(batch/ss unique pixels x ss sub-rays), the last "
+                   "stage(s) anneal back to the point-sampled evaluator")
+    p.add_argument("--mask-px-stages", dest="mask_px_stages", default="",
+                   help="per-stage mask_pixel_mult, comma list ending at "
+                   "--mask-px (analytic pixel-area coverage arm; pair "
+                   "with --mask-sharp-stages so the pixel term binds)")
     p.add_argument("--coverage-stages", dest="coverage_stages", default="",
                    help="per-stage coverage family, comma list (e.g. "
                    "sigmoid,gaussian = sigmoid on the stacked stage 0, "
@@ -235,14 +245,21 @@ def main(argv=None):
         mask_sharpness_stages=(tuple(float(x) for x in
                                      args.mask_sharp_stages.split(","))
                                if args.mask_sharp_stages else ()),
+        supersample_stages=(tuple(int(x) for x in args.ss_stages.split(","))
+                            if args.ss_stages else ()),
+        mask_px_stages=(tuple(float(x) for x in
+                              args.mask_px_stages.split(","))
+                        if args.mask_px_stages else ()),
         render=RenderConfig(
             softmax_sharpness=40.0, mask_sharpness=args.mask_sharp,
             mask_pixel_mult=args.mask_px,
             coverage_mode=args.coverage,
             # Vertical per-pixel view angle of the dataset's rig (all its
-            # cameras share one fov).
+            # cameras share one fov). Any footprint-aware mode needs it.
             pixel_angle=(2.0 * math.tan(math.radians(fov / 2))
-                         / args.size) if args.mask_px > 0 else 0.0),
+                         / args.size)
+            if (args.mask_px > 0 or args.ss_stages or args.mask_px_stages)
+            else 0.0),
         loss=LossConfig(repulsion_far_field=args.far_field,
                         fringe_weight=args.fringe_weight,
                         fringe_threshold=args.fringe_threshold),
@@ -367,6 +384,8 @@ def main(argv=None):
                    coverage=args.coverage,
                    coverage_stages=args.coverage_stages,
                    mask_sharp_stages=args.mask_sharp_stages,
+                   ss_stages=args.ss_stages,
+                   mask_px_stages=args.mask_px_stages,
                    fringe_weight=args.fringe_weight,
                    fringe_threshold=args.fringe_threshold,
                    split_mode=args.split_mode,
