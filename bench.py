@@ -177,6 +177,7 @@ def main():
     }))
     if on_tpu:
         check_regression(best)
+        check_large_regression()
 
 
 def check_regression(value: float, tolerance: float = 0.90):
@@ -204,5 +205,77 @@ def check_regression(value: float, tolerance: float = 0.90):
           f"({os.path.basename(records[-1])})", file=sys.stderr)
 
 
+def large_flagship(steps: int = 50, reps: int = 2):
+    """(ms/step, rays/s) of the flagship large-scene configuration:
+    M=51,200 culled train step — hierarchical selection, fused culled
+    march kernel warm-started 16 steps, fused cluster repulsion with the
+    monopole far field (docs/PARITY.md large-scene table: 6.94 ms /
+    2.36 Mrays/s on one chip). Reuses scripts/bench_large.py's harness so
+    this is the same measurement the docs quote."""
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(here, "scripts"))
+    import bench_large as bl
+
+    from burn_raymarching_tpu.config import LossConfig, TrainConfig
+
+    cfg = TrainConfig(
+        loss=LossConfig(repulsion_far_field="monopole"),
+        batch_size=16384, use_culling=True, cull_budget=256,
+        cull_tile=512, cull_hierarchical=True, cull_cluster_group=64,
+        cull_cluster_budget=32, cluster_repulsion=True,
+        weight_decay_mode="decoupled", warm_start=True, warm_steps=16,
+        steps_per_call=steps, checkpoint_dir=None)
+    ds = bl.make_dataset(10 * 256 * 256)
+    padded, mask = bl.make_params(51200)
+    best, rays, _ = bl.bench_variant(cfg, ds, padded, mask, "warm",
+                                     steps, reps)
+    return best * 1e3, rays
+
+
+def check_large_regression(tolerance: float = 0.90):
+    """Second guarded metric (VERDICT r3 item 5): the large-scene
+    culled+fused warm step must stay within tolerance of the committed
+    BENCH_LARGE.json — the flagship TPU-native path previously had no
+    tripwire and could regress silently."""
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "BENCH_LARGE.json")
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        prev = json.load(f)["mrays_per_s"]
+    ms, rays = large_flagship()
+    mrays = rays / 1e6
+    if mrays < tolerance * prev:
+        print(f"LARGE-SCENE BENCH REGRESSION: {mrays:.2f} Mrays/s "
+              f"({ms:.2f} ms/step) < {tolerance:.0%} of committed "
+              f"{prev:.2f} (BENCH_LARGE.json)", file=sys.stderr)
+        sys.exit(2)
+    print(f"large-scene guard ok: {mrays:.2f} Mrays/s ({ms:.2f} ms/step) "
+          f"vs committed {prev:.2f}", file=sys.stderr)
+
+
+def write_large_baseline():
+    """Measure the flagship large-scene step and (re)commit the guard
+    baseline. Run on real TPU hardware only."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    ms, rays = large_flagship()
+    payload = {"m": 51200, "cull_budget": 256, "hier": True,
+               "warm_steps": 16, "rep_far_field": "monopole",
+               "ms_per_step": round(ms, 3),
+               "mrays_per_s": round(rays / 1e6, 3)}
+    with open(os.path.join(here, "BENCH_LARGE.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--write-large-baseline" in sys.argv:
+        write_large_baseline()
+    else:
+        main()

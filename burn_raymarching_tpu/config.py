@@ -291,6 +291,10 @@ class TrainConfig:
     stage_guard: bool = False
     stage_guard_retries: int = 2
     stage_guard_min_gain_db: float = 0.0
+    # Views used by the guard evaluator (0 = all training views). The
+    # guard compares pre vs post on the SAME subset, so a strided subset
+    # only trades detection sensitivity for eval time on many-view rigs.
+    stage_guard_views: int = 0
     dataset_order: str = "raster"    # "raster" | "morton"
     # Batch construction: "pixel" = the reference's i.i.d. pixel sampler
     # (dataset.rs:47-82). "tile" = sample whole cull_tile-sized Morton

@@ -704,12 +704,15 @@ class Trainer:
         cfg = self.cfg
         if self._guard_eval is None:
             cams = load_cameras(cfg.cameras_json)
+            if cfg.stage_guard_views and cfg.stage_guard_views < len(cams):
+                stride = max(len(cams) // cfg.stage_guard_views, 1)
+                cams = cams[::stride][: cfg.stage_guard_views]
             tgts = [load_image_as_array(c["file"]) for c in cams]
             self._guard_eval = (cams, tgts)
         cams, tgts = self._guard_eval
         return evaluate_views(
             padded, cams, tgts, cfg.width, cfg.height, mask=mask,
-            smooth_k=cfg.max_smooth_k,
+            smooth_k=cfg.max_smooth_k, chunk=16384,
             march_fn=self.march_fn,
             march_normal_fn=self.march_normal_fn,
             softmax_sharpness=cfg.render.softmax_sharpness,
@@ -748,21 +751,22 @@ class Trainer:
                            else jax.random.fold_in(key, 0xBAD0 + attempt))
             padded, mask, loss = self.run_stage(params, stage, attempt_key)
             psnr_post = self._guard_psnr(padded, mask)
+            self.metrics.log(stage=stage, guard_psnr_pre=round(psnr_pre, 3),
+                             guard_psnr_post=round(psnr_post, 3),
+                             guard_attempt=attempt)
             if best is None or psnr_post > best[0]:
                 best = (psnr_post, padded, mask, loss)
             if psnr_post >= psnr_pre + cfg.stage_guard_min_gain_db:
-                if attempt:
-                    self.log(f"  stage guard: retry {attempt} recovered "
-                             f"(PSNR {psnr_post:.2f} >= {psnr_pre:.2f})")
+                self.log(f"  stage guard: {psnr_pre:.2f} -> "
+                         f"{psnr_post:.2f} dB"
+                         + (f" (retry {attempt} recovered)" if attempt
+                            else ""))
                 break
             self.log(f"  !! stage guard: stage {stage} PSNR {psnr_post:.2f} "
                      f"< pre-stage {psnr_pre:.2f} "
                      f"+ {cfg.stage_guard_min_gain_db:g} — "
                      f"{'retrying' if attempt < cfg.stage_guard_retries else 'keeping best attempt'} "
                      f"({attempt + 1}/{cfg.stage_guard_retries + 1})")
-            self.metrics.log(stage=stage, guard_psnr_pre=round(psnr_pre, 3),
-                             guard_psnr_post=round(psnr_post, 3),
-                             guard_attempt=attempt)
         _, padded, mask, loss = best
         return padded, mask, loss
 
