@@ -261,7 +261,7 @@ def make_sharded_chunk_runner(
         # same decomposition, psum'd).
         repulsion_fn=None,
         batch=batch_local, warm=warm,
-        data_axis="data", model_axis=model_axis,
+        data_axis="data", model_axis=model_axis, model_size=n_model,
         # A 1-wide data axis samples exactly like the single-chip driver
         # (no key fold) — the driver-equivalence tests rely on it.
         fold_data_index=n_data > 1)

@@ -125,6 +125,59 @@ def expand_subpixel(ro: jax.Array, rd: jax.Array, ss: int,
     return roj.reshape(-1, 3), rdj.reshape(-1, 3)
 
 
+def sharded_culled_kernel_march(
+    kern: Callable,
+    model_axis: str,
+    model_size: int,
+    ro3: jax.Array,          # [B, T, 3] local tile batch (replicated over
+    rd3: jax.Array,          #           the model axis)
+    cs: jax.Array,           # [B, K, 3] THIS shard's per-tile top-K table
+    rs: jax.Array,           # [B, K]
+    qs: jax.Array,           # [B, K] (1e30 in invalid slots)
+    smooth_k,
+    *,
+    num_steps: int,
+    normal_eps: float,
+    t_init: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused-kernel march under an M-SHARDED primitive table.
+
+    The per-iteration sharded march needs the GLOBAL soft-min every step
+    (pmax/psum in the XLA twin — 40 collective pairs plus HBM round-trips;
+    the measured +10.8% model-shard step cost, runs/r3_hw:model_gap). This
+    instead exchanges the tiny detached selection TABLES once: an
+    all_to_all turns each device's [B, K] shard-local table into its
+    [B/S, S·K] tile-slice of the UNION table (the received K-blocks all
+    describe the caller's own tile range), each model column marches B/S
+    tiles against the union with the single-device fused kernel — zero
+    collectives in the loop, per-device march work unchanged at
+    (B/S)·(S·K) — and one all_gather redistributes the detached
+    (t, normal). The union soft-min is exactly the pmax/psum soft-min
+    (same table entries; invalid slots carry zero weight), so semantics
+    match the XLA twin bit-for-reduction-order.
+    """
+    b = ro3.shape[0]
+    bs = b // model_size
+
+    def to_cols(x):
+        return jax.lax.all_to_all(x, model_axis, split_axis=0,
+                                  concat_axis=1, tiled=True)
+
+    cs_u, rs_u, qs_u = to_cols(cs), to_cols(rs), to_cols(qs)
+    midx = jax.lax.axis_index(model_axis)
+
+    def sl(x):
+        return jax.lax.dynamic_slice_in_dim(x, midx * bs, bs, axis=0)
+
+    t0 = None if t_init is None else sl(t_init)
+    t_loc, n_loc = kern(sl(ro3), sl(rd3), cs_u, rs_u, qs_u, smooth_k,
+                        num_steps=num_steps, normal_eps=normal_eps,
+                        t_init=t0)
+    t = jax.lax.all_gather(t_loc, model_axis, axis=0, tiled=True)
+    normal = jax.lax.all_gather(n_loc, model_axis, axis=0, tiled=True)
+    return t, normal
+
+
 def make_device_step(
     cfg: TrainConfig,
     *,
@@ -136,6 +189,7 @@ def make_device_step(
     warm: bool,
     data_axis: Optional[str] = None,
     model_axis: Optional[str] = None,
+    model_size: int = 1,
     fold_data_index: bool = True,
 ) -> Callable:
     """Build device_step(params, key, i, stage, step0, mask, packed,
@@ -274,12 +328,20 @@ def make_device_step(
             b_t = batch // cfg.cull_tile
             ro3 = ro.reshape(b_t, cfg.cull_tile, 3)
             rd3 = rd.reshape(b_t, cfg.cull_tile, 3)
-            # The fused kernel serves single-device tables; M-sharded march
-            # needs per-iteration pmax/psum → XLA twin.
-            kern = (culled_march_fn
-                    if culled_march_fn is not None and model_axis is None
-                    else lambda *a, **kw: culled_march_normals_xla(
-                        *a, model_axis=model_axis, **kw))
+            # March backend: the fused kernel directly on single-device
+            # tables; under an M-sharded table, the all_to_all union-table
+            # wrapper keeps the kernel (and drops the per-iteration
+            # pmax/psum) whenever the tile batch splits evenly over the
+            # model axis; XLA twin otherwise.
+            if culled_march_fn is not None and model_axis is None:
+                kern = culled_march_fn
+            elif (culled_march_fn is not None and model_size > 1
+                  and b_t % model_size == 0):
+                kern = lambda *a, **kw: sharded_culled_kernel_march(  # noqa: E731
+                    culled_march_fn, model_axis, model_size, *a, **kw)
+            else:
+                kern = lambda *a, **kw: culled_march_normals_xla(  # noqa: E731
+                    *a, model_axis=model_axis, **kw)
             if warm:
                 t0_flat = jnp.take(t_cache, idx) * cfg.warm_backoff
                 if ss > 1:

@@ -313,3 +313,121 @@ def test_sharded_culled_cluster_repulsion_step_runs_finite(scene):
     assert np.isfinite(float(loss))
     for leaf in jax.tree.leaves(new_p):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_sharded_kernel_march_matches_xla_twin(scene):
+    """The all_to_all union-table fused-kernel march (train/step_body.
+    sharded_culled_kernel_march) must equal the per-iteration pmax/psum
+    XLA twin: same table entries, different reduction structure only."""
+    from functools import partial
+
+    from burn_raymarching_tpu.ops.culling import (
+        select_tile_primitives,
+        tile_cones,
+    )
+    from burn_raymarching_tpu.ops.pallas.culled_march_kernel import (
+        culled_march_normals_pallas,
+    )
+    from burn_raymarching_tpu.render.culled import culled_march_normals_xla
+    from burn_raymarching_tpu.train.step_body import (
+        sharded_culled_kernel_march,
+    )
+
+    params, ro, rd = scene
+    mesh = make_mesh(data=1, model=4)
+    mask = jnp.arange(8) < 7
+    centers = params.centers
+    radii = jax.nn.softplus(params.radii) + 0.01
+    tile = 16
+    b = ro.shape[0] // tile            # 16 tiles, 4 per model column
+    kern = partial(culled_march_normals_pallas, interpret=True, tile_t=8)
+
+    def dev(c_l, r_l, mask_l):
+        cones = tile_cones(ro, rd, tile)
+        idx, valid = select_tile_primitives(
+            cones, c_l, r_l, jnp.float32(32.0), 2, mask=mask_l)
+        cs = jnp.take(c_l, idx, axis=0)
+        rs = jnp.take(r_l.reshape(-1), idx, axis=0)
+        qs = jnp.where(valid, jnp.sum(cs * cs, axis=2), 1e30)
+        ro3 = ro.reshape(b, tile, 3)
+        rd3 = rd.reshape(b, tile, 3)
+        t_x, n_x = culled_march_normals_xla(
+            ro3, rd3, cs, rs, qs, jnp.float32(32.0), model_axis="model")
+        t_k, n_k = sharded_culled_kernel_march(
+            kern, "model", 4, ro3, rd3, cs, rs, qs, jnp.float32(32.0),
+            num_steps=40, normal_eps=1e-4)
+        return t_x, n_x, t_k, n_k
+
+    m2 = P("model", None)
+    r3 = P(None, None, None)
+    out = jax.shard_map(
+        dev, mesh=mesh,
+        in_specs=(m2, m2, P("model")),
+        out_specs=(r3, r3, r3, r3),
+        check_vma=False,
+    )(centers, radii, mask)
+    t_x, n_x, t_k, n_k = (np.asarray(x) for x in out)
+    np.testing.assert_allclose(t_k, t_x, rtol=2e-5, atol=2e-5)
+    # Normals compare on HIT rays only: on misses the 6 taps difference
+    # rounding noise and the (coverage-suppressed, detached) direction is
+    # arbitrary in both paths (same budget as test_culled_kernel.py).
+    hit = (t_x[..., 0] < 5.0)
+    assert hit.any()
+    # atol 1e-3 on unit-normal components: the union-table single-sum vs
+    # two-pass pmax/psum soft-min round the 6 taps differently; the
+    # resulting direction wiggle is ~1e-3 (detached, shading-only input).
+    np.testing.assert_allclose(n_k[hit], n_x[hit], atol=1e-3)
+
+
+def test_sharded_kernel_march_warm_start(scene):
+    """Warm-start t_init threads through the union-table wrapper (each
+    column slices its tile range)."""
+    from functools import partial
+
+    from burn_raymarching_tpu.ops.culling import (
+        select_tile_primitives,
+        tile_cones,
+    )
+    from burn_raymarching_tpu.ops.pallas.culled_march_kernel import (
+        culled_march_normals_pallas,
+    )
+    from burn_raymarching_tpu.render.culled import culled_march_normals_xla
+    from burn_raymarching_tpu.train.step_body import (
+        sharded_culled_kernel_march,
+    )
+
+    params, ro, rd = scene
+    mesh = make_mesh(data=1, model=4)
+    mask = jnp.arange(8) < 7
+    centers = params.centers
+    radii = jax.nn.softplus(params.radii) + 0.01
+    tile = 16
+    b = ro.shape[0] // tile
+    kern = partial(culled_march_normals_pallas, interpret=True, tile_t=8)
+    t_init = jnp.full((b, tile, 1), 0.5, jnp.float32)
+
+    def dev(c_l, r_l, mask_l):
+        cones = tile_cones(ro, rd, tile)
+        idx, valid = select_tile_primitives(
+            cones, c_l, r_l, jnp.float32(32.0), 2, mask=mask_l)
+        cs = jnp.take(c_l, idx, axis=0)
+        rs = jnp.take(r_l.reshape(-1), idx, axis=0)
+        qs = jnp.where(valid, jnp.sum(cs * cs, axis=2), 1e30)
+        ro3 = ro.reshape(b, tile, 3)
+        rd3 = rd.reshape(b, tile, 3)
+        t_x, _ = culled_march_normals_xla(
+            ro3, rd3, cs, rs, qs, jnp.float32(32.0), num_steps=16,
+            t_init=t_init, model_axis="model")
+        t_k, _ = sharded_culled_kernel_march(
+            kern, "model", 4, ro3, rd3, cs, rs, qs, jnp.float32(32.0),
+            num_steps=16, normal_eps=1e-4, t_init=t_init)
+        return t_x, t_k
+
+    out = jax.shard_map(
+        dev, mesh=mesh,
+        in_specs=(P("model", None), P("model", None), P("model")),
+        out_specs=(P(None, None, None), P(None, None, None)),
+        check_vma=False,
+    )(centers, radii, mask)
+    t_x, t_k = (np.asarray(x) for x in out)
+    np.testing.assert_allclose(t_k, t_x, rtol=2e-5, atol=2e-5)
