@@ -1,11 +1,19 @@
 """Interactive scene viewer over HTTP.
 
 The reference's viewer is a native winit/wgpu window with WASD+arrow
-controls (src/bin/viewer.rs). TPU hosts are headless, so the interactive
-equivalent is a localhost web app: a tiny HTTP server renders frames on the
-accelerator on demand and a canvas page provides the same controls
-(WASD move, arrows orbit, +/- zoom). The scene.json contract and the
-shading model (shader.wgsl semantics via tools/viewer_offline) are shared.
+controls at 60 fps (src/bin/viewer.rs:202-207). TPU hosts are headless,
+so the interactive equivalent is a localhost web app: a tiny HTTP server
+renders frames on the accelerator on demand and a canvas page provides
+the same controls (WASD move, arrows orbit, mouse-drag orbit, +/- zoom).
+The scene.json contract and the shading model (shader.wgsl semantics via
+tools/viewer_offline) are shared.
+
+Latency model (the native viewer's realtime feel, adapted to a
+render-per-request transport): frames are PROGRESSIVE — while the camera
+moves the page requests quarter-resolution frames (q=low, ~16x fewer
+rays, displayed pixelated like a dragging preview), and ~0.3 s after the
+last input it refines with one full-resolution frame. Each quality level
+keeps its own compiled renderer, so the low-res path stays warm.
 
 Usage:
   python -m burn_raymarching_tpu.tools.viewer_server scene.json
@@ -33,15 +41,26 @@ img{image-rendering:pixelated;width:640px;height:640px;border:1px solid #444}
 <body>
 <h3>burn_raymarching_tpu — interactive viewer</h3>
 <p>WASD move &nbsp; arrows orbit &nbsp; +/- zoom</p>
-<img id="view" src="/frame?yaw=0&pitch=0.2&dist=2.5">
+<img id="view" src="/frame?yaw=0&pitch=0.2&dist=2.5" draggable="false">
 <script>
 let yaw=0, pitch=0.2, dist=2.5, cx=0, cy=0, cz=0, busy=false, dirty=true;
-function refresh(){
-  if(busy){dirty=true;return}
+let refineTimer=null;
+function url(q){
+  return `/frame?yaw=${yaw}&pitch=${pitch}&dist=${dist}&cx=${cx}&cy=${cy}`+
+         `&cz=${cz}&q=${q}&t=${Date.now()}`;
+}
+function refresh(q='low'){
+  // Progressive: low-res frames while moving, one full-res refine after
+  // ~0.3 s of no input (the headless analog of the native viewer's
+  // continuous redraw, viewer.rs:202-207).
+  if(refineTimer) clearTimeout(refineTimer);
+  refineTimer=setTimeout(()=>{refresh._q='full'; refresh('full');}, 300);
+  if(busy){dirty=true; refresh._q=q; return}
   busy=true; dirty=false;
   const img=document.getElementById('view');
-  img.onload=()=>{busy=false; if(dirty) refresh();};
-  img.src=`/frame?yaw=${yaw}&pitch=${pitch}&dist=${dist}&cx=${cx}&cy=${cy}&cz=${cz}&t=${Date.now()}`;
+  img.onload=()=>{busy=false; if(dirty) refresh(refresh._q||'low');};
+  img.onerror=img.onload;
+  img.src=url(q);
 }
 document.addEventListener('keydown', e=>{
   const s=0.1;
@@ -58,8 +77,22 @@ document.addEventListener('keydown', e=>{
     case '-': dist+=0.15; break;
     default: return;
   }
-  e.preventDefault(); refresh();
+  e.preventDefault(); refresh('low');
 });
+// Mouse-drag orbit (native-viewer feel): low-res while dragging.
+const view=document.getElementById('view');
+let drag=null;
+view.addEventListener('pointerdown', e=>{
+  drag=[e.clientX,e.clientY]; view.setPointerCapture(e.pointerId);});
+view.addEventListener('pointermove', e=>{
+  if(!drag) return;
+  yaw+=(e.clientX-drag[0])*0.006;
+  pitch=Math.min(1.4,Math.max(-1.4,pitch+(e.clientY-drag[1])*0.006));
+  drag=[e.clientX,e.clientY]; refresh('low');});
+view.addEventListener('pointerup', ()=>{drag=null; refresh('full');});
+view.addEventListener('wheel', e=>{
+  dist=Math.min(12,Math.max(0.5,dist+Math.sign(e.deltaY)*0.15));
+  e.preventDefault(); refresh('low');});
 </script></body></html>"""
 
 
@@ -69,13 +102,18 @@ class _ViewerState:
 
         self.scene = load_scene_json(scene_path)
         self.size = size
+        # Progressive preview resolution: ~16x fewer rays while the
+        # camera moves (quarter linear size, floored at 64 px, never
+        # above the full size).
+        self.low_size = min(size, max(64, size // 4))
         self.model = model
         self.lock = threading.Lock()
 
     def render(self, yaw: float, pitch: float, dist: float,
-               center) -> bytes:
+               center, quality: str = "full") -> bytes:
         from burn_raymarching_tpu.tools.viewer_offline import render_pose
 
+        size = self.low_size if quality == "low" else self.size
         cx, cy, cz = center
         eye = [
             cx + dist * math.cos(pitch) * math.sin(yaw),
@@ -83,12 +121,12 @@ class _ViewerState:
             cz - dist * math.cos(pitch) * math.cos(yaw),
         ]
         with self.lock:  # one accelerator render at a time
-            img = render_pose(self.scene, eye, [cx, cy, cz], self.size,
+            img = render_pose(self.scene, eye, [cx, cy, cz], size,
                               model=self.model)
         from PIL import Image
 
         u8 = (np.clip(img, 0, 1) ** (1 / 2.2) * 255).astype(np.uint8)
-        im = Image.fromarray(u8.reshape(self.size, self.size, 3))
+        im = Image.fromarray(u8.reshape(size, size, 3))
         buf = io.BytesIO()
         im.save(buf, format="PNG")
         return buf.getvalue()
@@ -117,9 +155,11 @@ def make_handler(state: _ViewerState):
                     except ValueError:
                         return default
 
+                quality = q.get("q", ["full"])[0]
                 png = state.render(
                     f("yaw", 0.0), f("pitch", 0.2), f("dist", 2.5),
-                    (f("cx", 0.0), f("cy", 0.0), f("cz", 0.0)))
+                    (f("cx", 0.0), f("cy", 0.0), f("cz", 0.0)),
+                    quality="low" if quality == "low" else "full")
                 self.send_response(200)
                 self.send_header("Content-Type", "image/png")
                 self.send_header("Content-Length", str(len(png)))

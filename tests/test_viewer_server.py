@@ -51,3 +51,27 @@ def test_scene_endpoint(server):
 def test_404(server):
     with pytest.raises(urllib.error.HTTPError):
         urllib.request.urlopen(server + "/nope")
+
+
+def test_progressive_low_quality_frames(reference_dir):
+    """q=low serves the quarter-resolution dragging preview; q=full (and
+    no q) serve the full size — the headless analog of the native
+    viewer's continuous-motion redraw."""
+    state = _ViewerState(f"{reference_dir}/scene.json", size=256,
+                         model="viewer")
+    assert state.low_size == 64
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        low = np.asarray(Image.open(io.BytesIO(urllib.request.urlopen(
+            base + "/frame?yaw=0.3&q=low").read())))
+        full = np.asarray(Image.open(io.BytesIO(urllib.request.urlopen(
+            base + "/frame?yaw=0.3&q=full").read())))
+        assert low.shape == (64, 64, 3)
+        assert full.shape == (256, 256, 3)
+        # Same scene content: the low frame is a coarse version of full.
+        assert low.max() > 0 and full.max() > 0
+    finally:
+        srv.shutdown()
