@@ -290,7 +290,16 @@ class TrainConfig:
     # retries when a stage actually went bad.
     stage_guard: bool = False
     stage_guard_retries: int = 2
-    stage_guard_min_gain_db: float = 0.0
+    # Stage bar: post-stage PSNR must reach pre-stage + this (slightly
+    # negative default tolerates converged final stages that wiggle by
+    # hundredths without burning retries).
+    stage_guard_min_gain_db: float = -0.1
+    # Boundary bar: density control (prune/split/merge) may cost at most
+    # this much PSNR vs the accepted post-stage value before the guard
+    # re-rolls it with a fresh rng (healthy boundaries measured 0-0.5 dB
+    # on the bundled scene; collapse trajectories lose 1.3-2.2 dB at a
+    # boundary before the next stage ever runs).
+    stage_guard_boundary_db: float = 1.0
     # Views used by the guard evaluator (0 = all training views). The
     # guard compares pre vs post on the SAME subset, so a strided subset
     # only trades detection sensitivity for eval time on many-view rigs.

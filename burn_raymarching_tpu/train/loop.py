@@ -722,53 +722,122 @@ class Trainer:
             pixel_angle=cfg.render.pixel_angle,
             coverage_mode=cfg.render.coverage_mode)["mean"]
 
-    def _run_stage_guarded(
-        self,
-        params: SceneParams,
-        stage: int,
-        key: jax.Array,
-    ) -> tuple[SceneParams, jax.Array, jax.Array]:
-        """run_stage with the in-run collapse guard (config.stage_guard).
-
-        The stochastic density-control trajectory occasionally collapses a
-        run mid-stage (runaway splitting: runs/r3_hw:turbo_seeds — 2/10
-        turbo seeds end 24-30 dB with N 10-12 instead of 32.8-33.05 with
-        N 6-7). The failure is visible IN-RUN as a stage that fails to
-        improve train-view PSNR; instead of requiring --best-of N full
-        runs, re-run just that stage from its entry params with a fresh
-        restart key. The best candidate is kept even if every attempt
-        fails the bar, so the guard never returns something worse than
-        unguarded. No reference counterpart (its committed scene is itself
-        one selected run of the same stochastic pipeline;
-        training.rs:191-199 is the stochastic split)."""
+    def _guarded_boundary(self, prev: dict, attempt: int) -> tuple[
+            SceneParams, float]:
+        """Density control with the boundary guard: run prune/split/merge
+        from the previous ACCEPTED stage result with an (attempt, redo)-
+        salted rng, measure the next generation's PSNR, and re-roll when
+        the boundary alone costs more than stage_guard_boundary_db —
+        measured collapse/underperformer trajectories lose 1.3-2.2 dB at
+        a boundary (a bad stochastic split draw, training.rs:191-221)
+        before the next stage ever runs, while healthy boundaries cost
+        0-0.5 dB. Returns (next params, their PSNR); keeps the best roll
+        even if every roll fails the bar."""
         cfg = self.cfg
-        m_pad = self._bucket(params.n)
-        pre_padded, pre_mask = self._place(*pad_params(params, m_pad))
-        psnr_pre = self._guard_psnr(pre_padded, pre_mask)
+        stage = prev["stage"]
         best = None
-        for attempt in range(cfg.stage_guard_retries + 1):
-            attempt_key = (key if attempt == 0
-                           else jax.random.fold_in(key, 0xBAD0 + attempt))
-            padded, mask, loss = self.run_stage(params, stage, attempt_key)
-            psnr_post = self._guard_psnr(padded, mask)
-            self.metrics.log(stage=stage, guard_psnr_pre=round(psnr_pre, 3),
-                             guard_psnr_post=round(psnr_post, 3),
-                             guard_attempt=attempt)
-            if best is None or psnr_post > best[0]:
-                best = (psnr_post, padded, mask, loss)
-            if psnr_post >= psnr_pre + cfg.stage_guard_min_gain_db:
-                self.log(f"  stage guard: {psnr_pre:.2f} -> "
-                         f"{psnr_post:.2f} dB"
-                         + (f" (retry {attempt} recovered)" if attempt
-                            else ""))
+        for redo in range(cfg.stage_guard_retries + 1):
+            rng = np.random.default_rng((cfg.seed, stage, attempt, redo))
+            cand = self._density_control(
+                prev["padded"], prev["mask"], prev["n_live"],
+                prev["init_centers"], stage, rng)
+            cpad, cmask = self._place(*pad_params(cand,
+                                                  self._bucket(cand.n)))
+            p = self._guard_psnr(cpad, cmask)
+            if best is None or p > best[0]:
+                best = (p, cand)
+            if p >= prev["psnr"] - cfg.stage_guard_boundary_db:
                 break
-            self.log(f"  !! stage guard: stage {stage} PSNR {psnr_post:.2f} "
-                     f"< pre-stage {psnr_pre:.2f} "
-                     f"+ {cfg.stage_guard_min_gain_db:g} — "
-                     f"{'retrying' if attempt < cfg.stage_guard_retries else 'keeping best attempt'} "
-                     f"({attempt + 1}/{cfg.stage_guard_retries + 1})")
-        _, padded, mask, loss = best
-        return padded, mask, loss
+            self.log(f"  !! stage guard: boundary after stage {stage} cost "
+                     f"{prev['psnr'] - p:.2f} dB "
+                     f"({prev['psnr']:.2f} -> {p:.2f}) — re-rolling density "
+                     f"control ({redo + 1}/{cfg.stage_guard_retries + 1})")
+            self.metrics.log(stage=stage, guard_boundary_psnr=round(p, 3),
+                             guard_boundary_redo=redo)
+        return best[1], best[0]
+
+    def _run_guarded(self, params: SceneParams, key: jax.Array,
+                     start_stage: int) -> tuple[SceneParams, jax.Array]:
+        """The multi-stage loop with the in-run collapse guard
+        (config.stage_guard).
+
+        The density-control trajectory is stochastic and occasionally
+        collapses a run (runaway splitting: runs/r3_hw:turbo_seeds — 2/10
+        turbo seeds end 24-30 dB with N 10-12 instead of 32.8-33.05 with
+        N 6-7; a further seed underperforms ~1 dB through two expensive
+        boundaries). Measured on those trajectories, a failing stage fails
+        DETERMINISTICALLY under restart-key retries — the damage is in the
+        stage's ENTRY params, i.e. the preceding stochastic prune/split
+        draw. The guard therefore retries the (boundary, stage) pair
+        jointly: a stage that fails to improve train-view PSNR by
+        stage_guard_min_gain_db is re-run from a FRESH density-control
+        roll of the previous accepted result (plus a fresh restart key),
+        and the boundary itself re-rolls immediately when it alone costs
+        more than stage_guard_boundary_db. Best candidates are kept at
+        both levels, so the guard never returns worse than unguarded. The
+        reference has no counterpart — its committed scene is itself one
+        selected run of the same stochastic pipeline (training.rs:191-199
+        is the stochastic split)."""
+        cfg = self.cfg
+        padded = mask = None
+        prev = None                       # accepted previous-stage state
+        entry, entry_psnr = params, None  # current stage entry params
+        for stage in range(start_stage, cfg.stages):
+            self.log(f"=== Stage {stage + 1}/{cfg.stages} "
+                     f"(N = {entry.n}) ===")
+            key, key_stage = jax.random.split(key)
+            best = None
+            for attempt in range(cfg.stage_guard_retries + 1):
+                if attempt > 0 and prev is not None:
+                    entry, entry_psnr = self._guarded_boundary(prev, attempt)
+                params_s = self._prepare_stage_params(entry)
+                init_centers = np.asarray(params_s.centers)
+                if entry_psnr is None:
+                    pre_p, pre_m = self._place(*pad_params(
+                        params_s, self._bucket(params_s.n)))
+                    entry_psnr = self._guard_psnr(pre_p, pre_m)
+                padded_c, mask_c, _ = self.run_stage(
+                    params_s, stage, jax.random.fold_in(key_stage, attempt))
+                psnr_post = self._guard_psnr(padded_c, mask_c)
+                self.metrics.log(stage=stage,
+                                 guard_psnr_pre=round(entry_psnr, 3),
+                                 guard_psnr_post=round(psnr_post, 3),
+                                 guard_attempt=attempt)
+                if best is None or psnr_post > best[0]:
+                    best = (psnr_post, padded_c, mask_c, params_s,
+                            init_centers)
+                if psnr_post >= entry_psnr + cfg.stage_guard_min_gain_db:
+                    self.log(f"  stage guard: {entry_psnr:.2f} -> "
+                             f"{psnr_post:.2f} dB"
+                             + (f" (attempt {attempt} recovered)" if attempt
+                                else ""))
+                    break
+                retryable = attempt < cfg.stage_guard_retries
+                self.log(f"  !! stage guard: stage {stage} PSNR "
+                         f"{psnr_post:.2f} < entry {entry_psnr:.2f} "
+                         f"{cfg.stage_guard_min_gain_db:+g} — "
+                         f"{'retrying (fresh boundary + key)' if retryable else 'keeping best attempt'} "
+                         f"({attempt + 1}/{cfg.stage_guard_retries + 1})")
+            psnr_stage, padded, mask, params_s, init_centers = best
+            if stage == cfg.stages - 1:
+                self.log("🎉 Final Stage Complete! Exporting results...")
+                if self._io:
+                    export_scene_json(padded, cfg.scene_json,
+                                      mask=np.asarray(mask))
+                self.log(f"  => Saved to {cfg.scene_json} "
+                         f"(N = {params_s.n})")
+                self.save_preview(padded, mask,
+                                  os.path.join(cfg.steps_dir, "final_1.png"))
+                break
+            self.save_preview(
+                padded, mask,
+                os.path.join(cfg.steps_dir, f"stage_{stage}.png"))
+            prev = {"padded": padded, "mask": mask, "n_live": params_s.n,
+                    "init_centers": init_centers, "psnr": psnr_stage,
+                    "stage": stage}
+            entry, entry_psnr = self._guarded_boundary(prev, 0)
+            self.save_checkpoint(stage + 1, entry, key)
+        return padded, mask
 
     def _ckpt_path(self, stage: int) -> Optional[str]:
         if not self.cfg.checkpoint_dir:
@@ -851,16 +920,15 @@ class Trainer:
                 self.log(f"Resuming from stage {start_stage} checkpoint")
 
         self.log("🚀 Start Multi-Stage Optimization...")
+        if cfg.stage_guard:
+            return self._run_guarded(params, key, start_stage)
         padded, mask = pad_params(params, bucket_size(params.n))
         for stage in range(start_stage, cfg.stages):
             self.log(f"=== Stage {stage + 1}/{cfg.stages} (N = {params.n}) ===")
             params = self._prepare_stage_params(params)
             stage_init_centers = np.asarray(params.centers)
             key, sub = jax.random.split(key)
-            if cfg.stage_guard:
-                padded, mask, _ = self._run_stage_guarded(params, stage, sub)
-            else:
-                padded, mask, _ = self.run_stage(params, stage, sub)
+            padded, mask, _ = self.run_stage(params, stage, sub)
 
             if stage == cfg.stages - 1:
                 self.log("🎉 Final Stage Complete! Exporting results...")
@@ -874,45 +942,61 @@ class Trainer:
 
             self.save_preview(padded, mask,
                               os.path.join(cfg.steps_dir, f"stage_{stage}.png"))
-
-            unpadded = self._unpad(padded, params.n)
-            split_scores = None
-            if cfg.density.split_mode == "residual":
-                # Scale-aware growth signal: residual attribution through
-                # the compositor weights (train/residual.py). Scored on the
-                # padded params; live rows are the first n by construction.
-                from burn_raymarching_tpu.train.residual import (
-                    primitive_residual_scores,
-                )
-
-                k_end = anneal_for_step(cfg, stage, cfg.steps_per_stage)[1]
-                # Score under the STAGE's forward (per-stage coverage /
-                # sharpness schedules), not the final one — residuals must
-                # reflect the model the stage actually trained.
-                split_scores = primitive_residual_scores(
-                    padded, mask, self.dataset,
-                    self._stage_cfg(self._render_overrides_for_stage(stage)),
-                    k_end, kern=self.culled_march_normal_fn)[:params.n]
-            centers, colors, radii, stats = prune_and_split(
-                np.asarray(unpadded.centers),
-                np.asarray(unpadded.colors),
-                np.asarray(unpadded.radii),
-                stage_init_centers,
-                stage, cfg.stages, rng, cfg.density,
-                split_scores=split_scores,
-            )
-            params = SceneParams(
-                centers=jnp.asarray(centers),
-                colors=jnp.asarray(colors),
-                radii=jnp.asarray(radii),
-                light_dir=padded.light_dir,
-                ambient=padded.ambient,
-            )
-            self.log(
-                f"  => Pruning & Splitting complete. Next N = {params.n} "
-                f"(kept {stats.kept}, split {stats.split}, pruned "
-                f"{stats.pruned_size}+{stats.pruned_flyaway}+"
-                f"{stats.pruned_black}, merged {stats.merged})"
-            )
+            params = self._density_control(padded, mask, params.n,
+                                           stage_init_centers, stage, rng)
             self.save_checkpoint(stage + 1, params, key)
         return padded, mask
+
+    def _density_control(
+        self,
+        padded: SceneParams,
+        mask: jax.Array,
+        n_live: int,
+        stage_init_centers: np.ndarray,
+        stage: int,
+        rng: np.random.Generator,
+    ) -> SceneParams:
+        """Generation boundary: prune/split (+ optional merge / residual
+        scoring) on the live rows → next-generation params
+        (training.rs:87-238)."""
+        cfg = self.cfg
+        unpadded = self._unpad(padded, n_live)
+        split_scores = None
+        if cfg.density.split_mode == "residual":
+            # Scale-aware growth signal: residual attribution through
+            # the compositor weights (train/residual.py). Scored on the
+            # padded params; live rows are the first n by construction.
+            from burn_raymarching_tpu.train.residual import (
+                primitive_residual_scores,
+            )
+
+            k_end = anneal_for_step(cfg, stage, cfg.steps_per_stage)[1]
+            # Score under the STAGE's forward (per-stage coverage /
+            # sharpness schedules), not the final one — residuals must
+            # reflect the model the stage actually trained.
+            split_scores = primitive_residual_scores(
+                padded, mask, self.dataset,
+                self._stage_cfg(self._render_overrides_for_stage(stage)),
+                k_end, kern=self.culled_march_normal_fn)[:n_live]
+        centers, colors, radii, stats = prune_and_split(
+            np.asarray(unpadded.centers),
+            np.asarray(unpadded.colors),
+            np.asarray(unpadded.radii),
+            stage_init_centers,
+            stage, cfg.stages, rng, cfg.density,
+            split_scores=split_scores,
+        )
+        params = SceneParams(
+            centers=jnp.asarray(centers),
+            colors=jnp.asarray(colors),
+            radii=jnp.asarray(radii),
+            light_dir=padded.light_dir,
+            ambient=padded.ambient,
+        )
+        self.log(
+            f"  => Pruning & Splitting complete. Next N = {params.n} "
+            f"(kept {stats.kept}, split {stats.split}, pruned "
+            f"{stats.pruned_size}+{stats.pruned_flyaway}+"
+            f"{stats.pruned_black}, merged {stats.merged})"
+        )
+        return params

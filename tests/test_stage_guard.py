@@ -101,6 +101,37 @@ def test_guard_keeps_best_when_all_attempts_fail(reference_dir, dataset,
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_boundary_guard_rerolls_bad_density_draw(reference_dir, dataset,
+                                                 tmp_path, monkeypatch):
+    """A density-control draw that tanks PSNR by more than
+    stage_guard_boundary_db is re-rolled with a fresh rng (the measured
+    collapse mechanism: a bad stochastic split before the stage runs)."""
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg(reference_dir, stage_guard_retries=2)
+    cfg = dataclasses.replace(cfg, stages=2)
+    logs = []
+    tr = Trainer(cfg, dataset, log=logs.append)
+    real = Trainer._density_control
+    calls = {"n": 0}
+
+    def flaky_density(self, padded, mask, n_live, init_centers, stage, rng):
+        calls["n"] += 1
+        out = real(self, padded, mask, n_live, init_centers, stage, rng)
+        if calls["n"] == 1:   # first draw "collapses" (giant white blob)
+            return _collapse(out)
+        return out
+
+    monkeypatch.setattr(Trainer, "_density_control", flaky_density)
+    padded, mask = tr.run()
+    assert calls["n"] >= 2
+    assert any("re-rolling density control" in l for l in logs)
+    for leaf in jax.tree.leaves(padded):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # The final kept scene is not the collapsed draw's descendant run
+    # gone wrong: export completed.
+    assert os.path.exists("scene.json")
+
+
 def test_guard_off_never_evaluates(reference_dir, dataset, tmp_path,
                                    monkeypatch):
     monkeypatch.chdir(tmp_path)
