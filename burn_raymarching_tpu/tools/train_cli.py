@@ -76,6 +76,18 @@ def build_config(args) -> "TrainConfig":
                 "without it the adaptive mask is a silent no-op")
         render_kw.update(mask_pixel_mult=args.mask_px,
                          pixel_angle=args.pixel_angle)
+    if getattr(args, "ss_stages", "") or getattr(args, "mask_px_stages", ""):
+        if getattr(args, "pixel_angle", 0.0) <= 0.0:
+            raise SystemExit(
+                "--ss-stages/--mask-px-stages need --pixel-angle "
+                "(2*tan(fov/2)/height) to define the pixel footprint")
+        render_kw["pixel_angle"] = args.pixel_angle
+        if args.ss_stages:
+            overrides["supersample_stages"] = tuple(
+                int(v) for v in args.ss_stages.split(","))
+        if args.mask_px_stages:
+            overrides["mask_px_stages"] = tuple(
+                float(v) for v in args.mask_px_stages.split(","))
     if render_kw:
         from burn_raymarching_tpu.config import RenderConfig
 
@@ -228,6 +240,18 @@ def main(argv=None):
                              "to-fine annealing; last entry clamps and "
                              "should equal the --sharp mask value eval "
                              "uses)")
+    parser.add_argument("--ss-stages", dest="ss_stages", default="",
+                        help="per-stage pixel-footprint supersample "
+                             "factor, comma list ending in 1 (e.g. "
+                             "1,4,4,4,1): middle stages train the "
+                             "footprint-averaged forward, the last "
+                             "stage(s) return to the point-sampled "
+                             "evaluator; requires --pixel-angle")
+    parser.add_argument("--mask-px-stages", dest="mask_px_stages",
+                        default="",
+                        help="per-stage mask_pixel_mult, comma list "
+                             "ending at --mask-px (analytic pixel-area "
+                             "coverage stages; requires --pixel-angle)")
     parser.add_argument("--mask-px", dest="mask_px", type=float, default=0.0,
                         help="pixel-footprint-adaptive coverage multiplier "
                              "(opt-in; two committed negative A/Bs on "

@@ -159,6 +159,60 @@ def turbo_guard_seeds(n=10):
                          "mean": 31.6, "std": 2.68}})
 
 
+def model_gap_kernel(steps=100, reps=3):
+    """Single-chip proxy for the sharded union-table march (VERDICT r3
+    item 6): the fused kernel at the shard-local shape [32 tiles, K=1024]
+    vs the union shape one pod model-column marches after the all_to_all
+    [4 tiles, K=8192] — equal FLOPs. If the union shape runs at the same
+    rate, the sharded path recovers fused-kernel speed and the measured
+    +10.8% XLA-twin gap closes up to (tiny) collective cost — the
+    collectives themselves move ~2.6 MB of tables + 256 KB of results per
+    step, ICI-negligible, but need a real pod to time."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from burn_raymarching_tpu.ops.pallas.culled_march_kernel import (
+        culled_march_normals_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    out = {"steps": steps}
+    for name, b, k in (("local_b32_k1024", 32, 1024),
+                       ("union_b4_k8192", 4, 8192)):
+        rd = jnp.asarray(rng.normal(0, 1, (b, 512, 3)), jnp.float32)
+        rd = rd / jnp.sqrt(jnp.sum(rd * rd, axis=2, keepdims=True))
+        ro = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, -2.5], jnp.float32), rd.shape)
+        cs = jnp.asarray(rng.uniform(-0.8, 0.8, (b, k, 3)), jnp.float32)
+        rs = jnp.asarray(0.02 + 0.05 * rng.random((b, k)), jnp.float32)
+        qs = jnp.sum(cs * cs, axis=2)
+
+        @jax.jit
+        def run(t0, cs=cs, rs=rs, qs=qs, ro=ro, rd=rd):
+            def body(t, _):
+                t, n = culled_march_normals_pallas(
+                    ro, rd, cs, rs, qs, jnp.float32(128.0), num_steps=16,
+                    t_init=t * 0.8)
+                return t, jnp.sum(n)
+            t, s = jax.lax.scan(body, t0, jnp.arange(steps))
+            return s
+
+        t0 = jnp.zeros((b, 512, 1), jnp.float32)
+        np.asarray(run(t0))                            # compile
+        best = float("inf")
+        for _ in range(reps):
+            tw = time.perf_counter()
+            np.asarray(run(t0))
+            best = min(best, (time.perf_counter() - tw) / steps)
+        out[name] = {"ms_per_step": round(best * 1e3, 3)}
+    out["union_over_local"] = round(
+        out["union_b4_k8192"]["ms_per_step"]
+        / out["local_b32_k1024"]["ms_per_step"], 3)
+    out["r3_xla_over_fused"] = 1.108
+    _save("model_gap_kernel", out)
+
+
 # --------------------------------------------------------------------- #
 # Silhouette-band mechanism A/Bs (run_c5-driven)
 # --------------------------------------------------------------------- #
@@ -223,7 +277,8 @@ def c4_headline():
     if "--out" in args:              # replace the arm's --out with ours
         i = args.index("--out")
         args = args[:i] + args[i + 2:]
-    run_c5.main(args + ["--out", "runs/c4_headline", "--refine", "2"])
+    run_c5.main(args + ["--out", "runs/c4_headline", "--refine", "2",
+                        "--alternate", "2"])
 
 
 def c5_headline():
@@ -238,7 +293,8 @@ def c5_headline():
           flush=True)
     import run_c5
 
-    run_c5.main(args + ["--out", "runs/c5_headline", "--refine", "2"])
+    run_c5.main(args + ["--out", "runs/c5_headline", "--refine", "2",
+                        "--alternate", "2"])
 
 
 def main(argv=None):

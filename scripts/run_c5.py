@@ -156,6 +156,12 @@ def main(argv=None):
                    "PSNR-gated)")
     p.add_argument("--refine-proposals", dest="refine_proposals", type=int,
                    default=768)
+    p.add_argument("--alternate", type=int, default=0, metavar="R",
+                   help="after --polish/--refine: R more rounds of "
+                   "(polish 1, refine 1) alternation — every round is "
+                   "greedily PSNR-gated, so the composition is a "
+                   "monotone climb on the train views; rounds that "
+                   "revert cost only their own compute")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (JAX_PLATFORMS env is "
                    "unreliable under the axon site hook)")
@@ -363,6 +369,13 @@ def main(argv=None):
             padded, mask, rounds=args.refine,
             proposals=args.refine_proposals,
             cameras=cams, targets=tgts, export=True)
+    for _ in range(args.alternate):
+        padded, mask = trainer.polish(padded, mask, rounds=1,
+                                      cameras=cams, targets=tgts,
+                                      export=True)
+        padded, mask = trainer.refine_geometry(
+            padded, mask, rounds=1, proposals=args.refine_proposals,
+            cameras=cams, targets=tgts, export=True)
     results["train_wall_s"] = round(time.perf_counter() - t0, 1)
     t0 = time.perf_counter()
     results["trained"] = psnr(padded, mask, trainer._cull_render())
@@ -381,6 +394,7 @@ def main(argv=None):
                    sample_mode=args.sample_mode, hier=args.hier,
                    mask_px=args.mask_px, mask_sharp=args.mask_sharp,
                    polish=args.polish, refine=args.refine,
+                   alternate=args.alternate,
                    coverage=args.coverage,
                    coverage_stages=args.coverage_stages,
                    mask_sharp_stages=args.mask_sharp_stages,
