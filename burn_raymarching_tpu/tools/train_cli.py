@@ -295,6 +295,10 @@ def main(argv=None):
     parser.add_argument("--refine-proposals", dest="refine_proposals",
                         type=int, default=768,
                         help="proposals per refine phase (3 phases/round)")
+    parser.add_argument("--refine-frac", dest="refine_frac", type=float,
+                        default=0.05,
+                        help="fraction of live primitives perturbed per "
+                             "refine proposal")
     args = parser.parse_args(argv)
 
     import dataclasses
@@ -314,7 +318,8 @@ def main(argv=None):
             padded, mask = trainer.polish(padded, mask, rounds=args.polish)
         if args.refine:
             trainer.refine_geometry(padded, mask, rounds=args.refine,
-                                    proposals=args.refine_proposals)
+                                    proposals=args.refine_proposals,
+                                    frac=args.refine_frac)
         return
 
     # Best-of-N: the density-control trajectory is stochastic; train N seeds
@@ -371,7 +376,8 @@ def main(argv=None):
     if args.refine:
         padded, mask = trainer.refine_geometry(
             padded, mask, rounds=args.refine,
-            proposals=args.refine_proposals, export=False,
+            proposals=args.refine_proposals, frac=args.refine_frac,
+            export=False,
             cameras=cams, targets=tgts)
     export_scene_json(padded, cfg.scene_json, mask=np.asarray(mask))
     print(f"🏆 Best seed {seed}: PSNR {psnr:.2f} → {cfg.scene_json}")

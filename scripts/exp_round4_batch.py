@@ -297,6 +297,68 @@ def c5_headline():
                         "--alternate", "2"])
 
 
+def decomp_runs():
+    """Error decomposition on the mechanism arm + headline scenes — the
+    VERDICT item-1 'band share' evidence either way."""
+    import diag_error_decomp
+
+    for run in ("runs/c4_ss4", "runs/c4_pxa", "runs/c4_headline",
+                "runs/c4_headline2"):
+        if os.path.exists(os.path.join(run, "scene_c5.json")):
+            print(f"--- decomp {run}", flush=True)
+            diag_error_decomp.main(["--run", run,
+                                    "--data", "runs/c4_r2/data"])
+
+
+def c4_headline2():
+    """Best c4 arm + the full greedy composition (refine-frac sweep came
+    out of the committed defaults; alternate rounds are monotone)."""
+    import run_c5
+
+    base = 27.62
+    arms = {"runs/c4_ss4": EXPERIMENTS["c4_ss4"],
+            "runs/c4_ss2": EXPERIMENTS["c4_ss2"],
+            "runs/c4_pxa": EXPERIMENTS["c4_pxa"]}
+    best_args = C4_HD
+    best_psnr = base
+    for run, args in arms.items():
+        r = _result(run)
+        if r and r.get("trained", 0) > best_psnr:
+            best_args, best_psnr = args, r["trained"]
+    args = list(best_args)
+    if "--out" in args:
+        i = args.index("--out")
+        args = args[:i] + args[i + 2:]
+    run_c5.main(args + ["--out", "runs/c4_headline2", "--refine", "2",
+                        "--alternate", "3", "--refine-proposals", "1024"])
+
+
+def c5_headline2():
+    import run_c5
+
+    r = _result("runs/c5_ss4")
+    use_ss = bool(r and r.get("trained", 0) > 27.47)
+    args = list(EXPERIMENTS["c5_ss4"]) if use_ss else list(C5_FR10)
+    if "--out" in args:
+        i = args.index("--out")
+        args = args[:i] + args[i + 2:]
+    run_c5.main(args + ["--out", "runs/c5_headline2", "--refine", "2",
+                        "--alternate", "3", "--refine-proposals", "1024"])
+
+
+def bench_guards():
+    """End-to-end run of bench.py with BOTH regression guards armed (the
+    driver's round-end invocation must pass)."""
+    import subprocess
+
+    r = subprocess.run([sys.executable, "bench.py"], capture_output=True,
+                       text=True, cwd=os.path.dirname(
+                           os.path.dirname(os.path.abspath(__file__))))
+    print(r.stdout)
+    print(r.stderr[-2000:] if r.stderr else "")
+    print(f"bench.py exit code {r.returncode}", flush=True)
+
+
 def main(argv=None):
     names = (argv if argv is not None else sys.argv[1:]) or (
         ["bench_large_baseline", "dist_overhead", "turbo_guard_seeds"]

@@ -156,6 +156,10 @@ def main(argv=None):
                    "PSNR-gated)")
     p.add_argument("--refine-proposals", dest="refine_proposals", type=int,
                    default=768)
+    p.add_argument("--refine-frac", dest="refine_frac", type=float,
+                   default=0.05,
+                   help="fraction of live primitives perturbed per refine "
+                   "proposal (smaller = finer, higher-acceptance steps)")
     p.add_argument("--alternate", type=int, default=0, metavar="R",
                    help="after --polish/--refine: R more rounds of "
                    "(polish 1, refine 1) alternation — every round is "
@@ -367,7 +371,7 @@ def main(argv=None):
     if args.refine:
         padded, mask = trainer.refine_geometry(
             padded, mask, rounds=args.refine,
-            proposals=args.refine_proposals,
+            proposals=args.refine_proposals, frac=args.refine_frac,
             cameras=cams, targets=tgts, export=True)
     for _ in range(args.alternate):
         padded, mask = trainer.polish(padded, mask, rounds=1,
@@ -375,6 +379,7 @@ def main(argv=None):
                                       export=True)
         padded, mask = trainer.refine_geometry(
             padded, mask, rounds=1, proposals=args.refine_proposals,
+            frac=args.refine_frac,
             cameras=cams, targets=tgts, export=True)
     results["train_wall_s"] = round(time.perf_counter() - t0, 1)
     t0 = time.perf_counter()
