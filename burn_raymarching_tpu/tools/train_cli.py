@@ -299,6 +299,10 @@ def main(argv=None):
                         default=0.05,
                         help="fraction of live primitives perturbed per "
                              "refine proposal")
+    parser.add_argument("--refine-bias", dest="refine_bias",
+                        default="uniform", choices=["uniform", "residual"],
+                        help="'residual': concentrate proposals on "
+                             "primitives carrying reconstruction error")
     args = parser.parse_args(argv)
 
     import dataclasses
@@ -319,7 +323,8 @@ def main(argv=None):
         if args.refine:
             trainer.refine_geometry(padded, mask, rounds=args.refine,
                                     proposals=args.refine_proposals,
-                                    frac=args.refine_frac)
+                                    frac=args.refine_frac,
+                                    proposal_bias=args.refine_bias)
         return
 
     # Best-of-N: the density-control trajectory is stochastic; train N seeds
@@ -377,7 +382,7 @@ def main(argv=None):
         padded, mask = trainer.refine_geometry(
             padded, mask, rounds=args.refine,
             proposals=args.refine_proposals, frac=args.refine_frac,
-            export=False,
+            proposal_bias=args.refine_bias, export=False,
             cameras=cams, targets=tgts)
     export_scene_json(padded, cfg.scene_json, mask=np.asarray(mask))
     print(f"🏆 Best seed {seed}: PSNR {psnr:.2f} → {cfg.scene_json}")

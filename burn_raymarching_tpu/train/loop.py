@@ -507,6 +507,7 @@ class Trainer:
         phases: int = 3,
         frac: float = 0.05,
         tiles: int = 512,
+        proposal_bias: str = "uniform",   # "uniform" | "residual"
         key: Optional[jax.Array] = None,
         export: bool = True,
         cameras: Optional[list] = None,
@@ -565,10 +566,24 @@ class Trainer:
             batches = sample_fg_tile_batches(
                 ds, tiles=tiles, seed=cfg.seed + 7919 * (r + 1),
                 tile=cfg.cull_tile)
+            select_probs = None
+            if proposal_bias == "residual":
+                # Concentrate proposals on the primitives carrying the
+                # residual error (recomputed per round — geometry moves).
+                from burn_raymarching_tpu.train.residual import (
+                    primitive_residual_scores,
+                )
+
+                select_probs = jnp.asarray(primitive_residual_scores(
+                    padded, mask, ds, cfg, cfg.max_smooth_k,
+                    kern=self.culled_march_normal_fn))
+            elif proposal_bias != "uniform":
+                raise ValueError(f"unknown proposal_bias {proposal_bias!r}")
             cand, stats = geometry_refine(
                 padded, mask, batches, cfg,
                 kern=self.culled_march_normal_fn,
                 proposals=proposals, phases=phases, frac=frac,
+                select_probs=select_probs,
                 key=sub, log=self.log)
             cand_psnr = psnr(cand, mask)
             kept = cand_psnr > best_psnr

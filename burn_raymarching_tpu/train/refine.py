@@ -88,6 +88,7 @@ def geometry_refine(
     frac: float = 0.05,
     sigma_c: float = 0.3,          # in units of each primitive's radius
     sigma_r: float = 0.15,         # raw (softplus-domain) radius noise
+    select_probs: Optional[jax.Array] = None,   # [M_pad] proposal bias
     key: Optional[jax.Array] = None,
     log=print,
 ) -> tuple[SceneParams, RefineStats]:
@@ -98,10 +99,28 @@ def geometry_refine(
     gate the returned params on a FULL evaluation (Trainer.polish-style
     greedy keep) — with adequate batch sizes the gate passes, but it makes
     the procedure never-regress by construction.
+
+    ``select_probs`` biases WHICH primitives each proposal perturbs:
+    per-primitive selection probability ∝ the given weights with the
+    expected selected count held at ``frac``·N_live (uniform Bernoulli
+    when None). Residual-attribution weights
+    (train/residual.primitive_residual_scores) concentrate proposals on
+    the primitives actually carrying reconstruction error — the
+    silhouette band — instead of spending most draws on settled interior
+    geometry.
     """
     (ro_a, rd_a, tgt_a), (ro_b, rd_b, tgt_b) = batches
     rc = cfg.render
     live = jnp.asarray(mask, jnp.float32)[:, None]
+    if select_probs is not None:
+        w = jnp.maximum(jnp.asarray(select_probs, jnp.float32), 0.0)
+        w = w * live[:, 0]
+        n_live = jnp.maximum(jnp.sum(live), 1.0)
+        p_sel = jnp.clip(frac * n_live * w
+                         / jnp.maximum(jnp.sum(w), 1e-20), 0.0, 1.0)
+        p_sel = p_sel[:, None]
+    else:
+        p_sel = jnp.full((padded.centers.shape[0], 1), frac, jnp.float32)
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
 
@@ -129,7 +148,7 @@ def geometry_refine(
             params, best_a, best_b = carry
             k1, k2, k3 = jax.random.split(jax.random.fold_in(key, i), 3)
             sel = (jax.random.uniform(k1, (params.centers.shape[0], 1))
-                   < frac).astype(jnp.float32) * live
+                   < p_sel).astype(jnp.float32) * live
             cand = SceneParams(
                 centers=params.centers
                 + jax.random.normal(k2, params.centers.shape)

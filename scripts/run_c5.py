@@ -160,6 +160,11 @@ def main(argv=None):
                    default=0.05,
                    help="fraction of live primitives perturbed per refine "
                    "proposal (smaller = finer, higher-acceptance steps)")
+    p.add_argument("--refine-bias", dest="refine_bias", default="uniform",
+                   choices=["uniform", "residual"],
+                   help="proposal selection: 'residual' concentrates "
+                   "perturbations on primitives carrying reconstruction "
+                   "error (train/residual.py attribution)")
     p.add_argument("--alternate", type=int, default=0, metavar="R",
                    help="after --polish/--refine: R more rounds of "
                    "(polish 1, refine 1) alternation — every round is "
@@ -372,6 +377,7 @@ def main(argv=None):
         padded, mask = trainer.refine_geometry(
             padded, mask, rounds=args.refine,
             proposals=args.refine_proposals, frac=args.refine_frac,
+            proposal_bias=args.refine_bias,
             cameras=cams, targets=tgts, export=True)
     for _ in range(args.alternate):
         padded, mask = trainer.polish(padded, mask, rounds=1,
@@ -379,7 +385,7 @@ def main(argv=None):
                                       export=True)
         padded, mask = trainer.refine_geometry(
             padded, mask, rounds=1, proposals=args.refine_proposals,
-            frac=args.refine_frac,
+            frac=args.refine_frac, proposal_bias=args.refine_bias,
             cameras=cams, targets=tgts, export=True)
     results["train_wall_s"] = round(time.perf_counter() - t0, 1)
     t0 = time.perf_counter()
@@ -399,7 +405,7 @@ def main(argv=None):
                    sample_mode=args.sample_mode, hier=args.hier,
                    mask_px=args.mask_px, mask_sharp=args.mask_sharp,
                    polish=args.polish, refine=args.refine,
-                   alternate=args.alternate,
+                   alternate=args.alternate, refine_bias=args.refine_bias,
                    coverage=args.coverage,
                    coverage_stages=args.coverage_stages,
                    mask_sharp_stages=args.mask_sharp_stages,

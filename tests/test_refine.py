@@ -146,6 +146,54 @@ def test_refine_cli_e2e(tmp_path, monkeypatch):
     assert all(np.isfinite(scene["centers"]))
 
 
+def test_refine_biased_selection_targets_scored_primitives(setup):
+    """select_probs concentrates proposals: a delta weight on one
+    primitive must leave every other primitive untouched."""
+    cfg, ds = setup
+    params = init_scene_params(7)
+    padded, mask = pad_params(params, 8)
+    batches = sample_fg_tile_batches(ds, tiles=2, tile=cfg.cull_tile)
+    probs = jnp.zeros(8).at[3].set(1.0)
+    refined, stats = geometry_refine(
+        padded, mask, batches, cfg, proposals=64, phases=1,
+        frac=1.0 / 7, select_probs=probs,
+        key=jax.random.PRNGKey(0), log=lambda s: None)
+    moved = (np.abs(np.asarray(refined.centers)
+                    - np.asarray(padded.centers)).sum(axis=1) > 0)
+    assert not moved[np.arange(8) != 3].any()
+    # The targeted primitive is selected in every proposal (p=1), so at
+    # least one accept moves it on this tiny scene.
+    assert stats.accepted >= 1
+    assert moved[3]
+
+
+def test_trainer_refine_residual_bias_smoke(setup, tmp_path, monkeypatch):
+    """proposal_bias='residual' scores and runs end-to-end."""
+    import dataclasses
+
+    from burn_raymarching_tpu.config import DensityConfig
+    from burn_raymarching_tpu.data.image_io import load_image_as_array
+    from burn_raymarching_tpu.data.scene_io import load_cameras
+    from burn_raymarching_tpu.train.loop import Trainer
+
+    cfg, ds = setup
+    cams = load_cameras(cfg.cameras_json)[:1]
+    tgts = [load_image_as_array(c["file"]) for c in cams]
+    monkeypatch.chdir(tmp_path)
+    cfg = dataclasses.replace(
+        cfg, stages=1, steps_per_stage=20, steps_per_call=20,
+        use_pallas=False, checkpoint_dir=None,
+        scene_json="scene.json", steps_dir="steps",
+        density=DensityConfig(split_score_pixels=4096))
+    tr = Trainer(cfg, ds, log=lambda s: None)
+    padded, mask = tr.run()
+    padded2, mask2 = tr.refine_geometry(
+        padded, mask, rounds=1, proposals=64, tiles=2,
+        proposal_bias="residual", cameras=cams, targets=tgts)
+    for leaf in jax.tree.leaves(padded2):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_refine_noop_when_nothing_accepted(setup):
     """With zero noise every proposal equals the current params (strict <
     comparisons reject them) — params come back bit-identical."""
