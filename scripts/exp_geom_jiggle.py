@@ -52,6 +52,11 @@ def main(argv=None):
     p.add_argument("--mask-sharp", dest="mask_sharp", type=float,
                    default=40.0)
     p.add_argument("--coverage", default="gaussian")
+    p.add_argument("--bias", default="uniform",
+                   choices=["uniform", "residual"],
+                   help="proposal selection: residual-attribution-weighted "
+                   "(round 4) vs uniform Bernoulli")
+    p.add_argument("--out-json", dest="out_json", default="geom_jiggle.json")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
@@ -124,11 +129,22 @@ def main(argv=None):
 
     psnr0 = full_psnr(padded)
     print(f"baseline PSNR {psnr0:.3f}", flush=True)
+    select_probs = None
+    if args.bias == "residual":
+        import jax.numpy as jnp
+
+        from burn_raymarching_tpu.train.residual import (
+            primitive_residual_scores,
+        )
+
+        select_probs = jnp.asarray(primitive_residual_scores(
+            padded, mask, ds, cfg, cfg.max_smooth_k, kern=kern))
     t0 = time.perf_counter()
     cur, stats = geometry_refine(
         padded, mask, batches, cfg, kern=kern, proposals=args.props,
         phases=args.phases, frac=args.frac, sigma_c=args.sigma_c,
-        sigma_r=args.sigma_r, key=jax.random.PRNGKey(args.seed))
+        sigma_r=args.sigma_r, select_probs=select_probs,
+        key=jax.random.PRNGKey(args.seed))
     print(f"refine: loss {stats.loss_before:.5f} -> {stats.loss_after:.5f},"
           f" accepted {stats.accepted}/{stats.proposals} "
           f"[{time.perf_counter() - t0:.0f}s]", flush=True)
@@ -140,8 +156,9 @@ def main(argv=None):
            "jiggled_psnr": round(psnr1, 3), "kept": bool(kept),
            "props": args.props, "phases": args.phases, "frac": args.frac,
            "sigma_c": args.sigma_c, "sigma_r": args.sigma_r,
+           "bias": args.bias,
            "rays": int(batches[0][0].shape[0])}
-    with open(os.path.join(args.run, "geom_jiggle.json"), "w") as f:
+    with open(os.path.join(args.run, args.out_json), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

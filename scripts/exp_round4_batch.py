@@ -310,6 +310,21 @@ def decomp_runs():
                                     "--data", "runs/c4_r2/data"])
 
 
+def refine_bias_ab():
+    """Uniform vs residual-biased refine proposals, same budget, on the
+    committed headline scene (A/B for --refine-bias residual)."""
+    import exp_geom_jiggle
+
+    run = ("runs/c4_headline" if os.path.exists(
+        os.path.join("runs/c4_headline", "scene_c5.json"))
+        else "runs/c4_hybrid_deep")
+    for bias in ("uniform", "residual"):
+        print(f"--- refine bias A/B: {bias} on {run}", flush=True)
+        exp_geom_jiggle.main(["--run", run, "--data", "runs/c4_r2/data",
+                              "--bias", bias, "--props", "512",
+                              "--out-json", f"geom_jiggle_{bias}.json"])
+
+
 def c4_headline2():
     """Best c4 arm + the full greedy composition (refine-frac sweep came
     out of the committed defaults; alternate rounds are monotone)."""
