@@ -142,6 +142,11 @@ def main(argv=None):
     p.add_argument("--lr-centers-stages", dest="lr_centers_stages",
                    default="", help="comma list overriding lr_scale_centers "
                    "per stage (post-merge lr re-tune), e.g. 0.001,0.01,0.01")
+    p.add_argument("--from-scene", dest="from_scene", default="",
+                   help="skip training: load this exported scene json and "
+                   "run only the post-training composition "
+                   "(--polish/--refine/--alternate) — stack more gated "
+                   "rounds on a finished run without re-training")
     p.add_argument("--ceiling-only", dest="ceiling_only",
                    action="store_true",
                    help="measure the representational ceiling with the "
@@ -355,20 +360,39 @@ def main(argv=None):
 
     import numpy as np
 
-    pts = np.asarray(json.load(open(cfg.init_points))["points"],
-                     np.float32).reshape(-1, 3)
-    init = init_scene_params_cloud(
-        cfg.init_n, seed=cfg.seed, extent=cfg.init_cloud_extent,
-        radius=cfg.init_cloud_radius, ambient_logit=cfg.init_ambient_logit,
-        points=pts, jitter=cfg.init_points_jitter)
-    init_pad, init_mask = pad_params(init, bucket_size(cfg.init_n))
-    t0 = time.perf_counter()
-    results["init"] = psnr(init_pad, init_mask, trainer._cull_render())
-    print(f"prior-seeded init: {results['init']:.2f} dB "
-          f"[{time.perf_counter() - t0:.0f}s]")
+    if args.from_scene:
+        # Post-training-only mode: load an exported scene and run just the
+        # greedy composition (polish/refine/alternate) on it — lets later
+        # passes stack gated rounds without re-paying the schedule.
+        from burn_raymarching_tpu.data.scene_io import load_scene_json
+
+        scene = load_scene_json(args.from_scene)
+        raw = raw_from_physical(
+            scene["centers"], scene["colors"], scene["radii"] + 0.01,
+            light_dir=scene["light_dir"],
+            ambient=float(scene["ambient_intensity"][0]))
+        padded, mask = pad_params(raw, bucket_size(scene["num_spheres"]))
+        t0 = time.perf_counter()
+        results["init"] = psnr(padded, mask, trainer._cull_render())
+        print(f"from-scene {args.from_scene}: {results['init']:.2f} dB "
+              f"[{time.perf_counter() - t0:.0f}s]")
+    else:
+        pts = np.asarray(json.load(open(cfg.init_points))["points"],
+                         np.float32).reshape(-1, 3)
+        init = init_scene_params_cloud(
+            cfg.init_n, seed=cfg.seed, extent=cfg.init_cloud_extent,
+            radius=cfg.init_cloud_radius,
+            ambient_logit=cfg.init_ambient_logit,
+            points=pts, jitter=cfg.init_points_jitter)
+        init_pad, init_mask = pad_params(init, bucket_size(cfg.init_n))
+        t0 = time.perf_counter()
+        results["init"] = psnr(init_pad, init_mask, trainer._cull_render())
+        print(f"prior-seeded init: {results['init']:.2f} dB "
+              f"[{time.perf_counter() - t0:.0f}s]")
 
     t0 = time.perf_counter()
-    padded, mask = trainer.run()
+    if not args.from_scene:
+        padded, mask = trainer.run()
     if args.polish:
         padded, mask = trainer.polish(padded, mask, rounds=args.polish,
                                       cameras=cams, targets=tgts,
@@ -406,6 +430,7 @@ def main(argv=None):
                    mask_px=args.mask_px, mask_sharp=args.mask_sharp,
                    polish=args.polish, refine=args.refine,
                    alternate=args.alternate, refine_bias=args.refine_bias,
+                   from_scene=args.from_scene,
                    coverage=args.coverage,
                    coverage_stages=args.coverage_stages,
                    mask_sharp_stages=args.mask_sharp_stages,
