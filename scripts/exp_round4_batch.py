@@ -325,40 +325,44 @@ def refine_bias_ab():
                               "--out-json", f"geom_jiggle_{bias}.json"])
 
 
+def _best_bias(run="runs/c4_headline"):
+    """Winner of the refine_bias_ab measurement (uniform when absent)."""
+    best, score = "uniform", -1.0
+    for bias in ("uniform", "residual"):
+        path = os.path.join(run, f"geom_jiggle_{bias}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                j = json.load(f)
+            gain = j["jiggled_psnr"] - j["baseline_psnr"]
+            if gain > score:
+                best, score = bias, gain
+    return best
+
+
 def c4_headline2():
-    """Best c4 arm + the full greedy composition (refine-frac sweep came
-    out of the committed defaults; alternate rounds are monotone)."""
+    """The c4 headline via the full greedy composition: the mechanism
+    A/Bs all measured negative, so this stacks gated rounds on the
+    COMPLETED c4_headline scene (--from-scene: no re-training) with the
+    A/B-winning refine bias."""
     import run_c5
 
-    base = 27.62
-    arms = {"runs/c4_ss4": EXPERIMENTS["c4_ss4"],
-            "runs/c4_ss2": EXPERIMENTS["c4_ss2"],
-            "runs/c4_pxa": EXPERIMENTS["c4_pxa"]}
-    best_args = C4_HD
-    best_psnr = base
-    for run, args in arms.items():
-        r = _result(run)
-        if r and r.get("trained", 0) > best_psnr:
-            best_args, best_psnr = args, r["trained"]
-    args = list(best_args)
-    if "--out" in args:
-        i = args.index("--out")
-        args = args[:i] + args[i + 2:]
-    run_c5.main(args + ["--out", "runs/c4_headline2", "--refine", "2",
-                        "--alternate", "3", "--refine-proposals", "1024"])
+    args = list(C4_HD)
+    run_c5.main(args + [
+        "--out", "runs/c4_headline2",
+        "--from-scene", "runs/c4_headline/scene_c5.json",
+        "--polish", "0", "--refine", "1", "--alternate", "3",
+        "--refine-proposals", "1024", "--refine-bias", _best_bias()])
 
 
 def c5_headline2():
     import run_c5
 
-    r = _result("runs/c5_ss4")
-    use_ss = bool(r and r.get("trained", 0) > 27.47)
-    args = list(EXPERIMENTS["c5_ss4"]) if use_ss else list(C5_FR10)
-    if "--out" in args:
-        i = args.index("--out")
-        args = args[:i] + args[i + 2:]
-    run_c5.main(args + ["--out", "runs/c5_headline2", "--refine", "2",
-                        "--alternate", "3", "--refine-proposals", "1024"])
+    args = list(C5_FR10)
+    run_c5.main(args + [
+        "--out", "runs/c5_headline2",
+        "--from-scene", "runs/c5_headline/scene_c5.json",
+        "--polish", "0", "--refine", "1", "--alternate", "3",
+        "--refine-proposals", "1024", "--refine-bias", _best_bias()])
 
 
 def bench_guards():
