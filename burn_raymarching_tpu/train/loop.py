@@ -509,6 +509,7 @@ class Trainer:
         tiles: int = 512,
         proposal_bias: str = "uniform",   # "uniform" | "residual"
         key: Optional[jax.Array] = None,
+        chunk: Optional[int] = None,      # proposals/program (None = auto)
         export: bool = True,
         cameras: Optional[list] = None,
         targets: Optional[list] = None,
@@ -584,7 +585,7 @@ class Trainer:
                 kern=self.culled_march_normal_fn,
                 proposals=proposals, phases=phases, frac=frac,
                 select_probs=select_probs,
-                key=sub, log=self.log)
+                key=sub, chunk=chunk, log=self.log)
             cand_psnr = psnr(cand, mask)
             kept = cand_psnr > best_psnr
             self.log(f"=== Refine round {r + 1}/{rounds}: PSNR "

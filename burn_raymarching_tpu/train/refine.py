@@ -15,7 +15,13 @@ Measured on the committed round-3 scenes (scripts/exp_geom_jiggle.py):
     generalize: c4 27.62 → **27.95**, c5 27.47 → 27.56 (+ the caller's
     full-PSNR gate makes the procedure never-regress);
   * proposals run as chunked lax.scan device programs (64/program — one
-    1024-iteration program crashed the TPU worker).
+    1024-iteration program crashed the TPU worker);
+  * the safe chunk size SCALES WITH the per-proposal program: 64 works at
+    c4's shapes (512 tiles, k_budget 2048) but crashes the worker at c5's
+    (k_budget 4096, measured twice in round 4 — deterministic, the first
+    chunk program never returns). ``_auto_chunk`` halves the chunk as the
+    cull budget doubles past 2048 so the per-program work stays at the
+    proven envelope; pass ``chunk=`` to override.
 
 The reference has no counterpart (its 6-7 fat spheres never hit this
 regime); structurally this is the "perturbation escape" arm of 3DGS-MCMC
@@ -36,6 +42,13 @@ from burn_raymarching_tpu.models.scene import SceneParams, activate
 from burn_raymarching_tpu.render.culled import render_diff_culled
 
 CHUNK = 64   # proposals per device program (larger programs crash Mosaic)
+
+
+def _auto_chunk(k_budget: int) -> int:
+    """Proposals per device program, scaled so per-program work stays at
+    the proven (CHUNK=64, k_budget=2048) envelope — larger single
+    programs crash the tunneled TPU worker (module docstring)."""
+    return max(8, (CHUNK * 2048) // max(int(k_budget), 2048))
 
 
 @dataclasses.dataclass
@@ -90,6 +103,7 @@ def geometry_refine(
     sigma_r: float = 0.15,         # raw (softplus-domain) radius noise
     select_probs: Optional[jax.Array] = None,   # [M_pad] proposal bias
     key: Optional[jax.Array] = None,
+    chunk: Optional[int] = None,   # proposals/program; None = _auto_chunk
     log=print,
 ) -> tuple[SceneParams, RefineStats]:
     """Hill-climb (centers, radii) on the two-batch-gated loss.
@@ -140,8 +154,10 @@ def geometry_refine(
                       cfg.loss.fg_weight, cfg.loss.bg_weight_end)
         return jnp.mean(jnp.abs(out - tgt) * w)
 
+    csize = int(chunk) if chunk else _auto_chunk(cfg.cull_budget)
+
     @jax.jit
-    def chunk(params, best_a, best_b, key, sigma_scale):
+    def propose_chunk(params, best_a, best_b, key, sigma_scale):
         r_phys = jax.nn.softplus(params.radii) + 0.01
 
         def prop(carry, i):
@@ -167,7 +183,7 @@ def geometry_refine(
                     jnp.where(acc, l_b, best_b)), acc
 
         (params, best_a, best_b), accs = jax.lax.scan(
-            prop, (params, best_a, best_b), jnp.arange(CHUNK))
+            prop, (params, best_a, best_b), jnp.arange(csize))
         return params, best_a, best_b, jnp.sum(accs)
 
     best_a = jax.jit(lambda p: loss_on(p, ro_a, rd_a, tgt_a))(padded)
@@ -178,14 +194,14 @@ def geometry_refine(
     for ph in range(phases):
         scale = jnp.float32(0.5 ** ph)
         ph_acc = 0
-        for _ in range(max(proposals // CHUNK, 1)):
+        for _ in range(max(proposals // csize, 1)):
             key, sub = jax.random.split(key)
-            padded, best_a, best_b, acc = chunk(padded, best_a, best_b,
-                                               sub, scale)
+            padded, best_a, best_b, acc = propose_chunk(
+                padded, best_a, best_b, sub, scale)
             ph_acc += int(acc)
-            total += CHUNK
+            total += csize
         accepted += ph_acc
         log(f"  refine phase {ph}: loss {float(best_a):.5f}, "
-            f"accepted {ph_acc}/{max(proposals // CHUNK, 1) * CHUNK}")
+            f"accepted {ph_acc}/{max(proposals // csize, 1) * csize}")
     return padded, RefineStats(loss_before=l0, loss_after=float(best_a),
                                accepted=accepted, proposals=total)

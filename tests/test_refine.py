@@ -210,3 +210,28 @@ def test_refine_noop_when_nothing_accepted(setup):
                                   np.asarray(padded.centers))
     np.testing.assert_array_equal(np.asarray(refined.radii),
                                   np.asarray(padded.radii))
+
+
+def test_auto_chunk_scales_with_cull_budget(setup):
+    """The safe proposals-per-program envelope (module docstring): 64 at
+    k_budget<=2048, halving as the budget doubles — c5's 4096 budget
+    crashed the TPU worker at 64 (round 4, deterministic)."""
+    from burn_raymarching_tpu.train.refine import _auto_chunk
+
+    assert _auto_chunk(16) == 64
+    assert _auto_chunk(2048) == 64
+    assert _auto_chunk(4096) == 32
+    assert _auto_chunk(8192) == 16
+    assert _auto_chunk(1 << 20) == 8      # floor
+
+    # Explicit chunk override flows through and controls program count.
+    cfg, ds = setup
+    params = init_scene_params(7)
+    padded, mask = pad_params(params, 8)
+    batches = sample_fg_tile_batches(ds, tiles=4, tile=cfg.cull_tile)
+    logs = []
+    _, stats = geometry_refine(
+        padded, mask, batches, cfg, proposals=32, phases=1, chunk=16,
+        key=jax.random.PRNGKey(0), log=logs.append)
+    assert stats.proposals == 32          # 2 programs x 16
+    assert "accepted" in logs[-1] and "/32" in logs[-1]
