@@ -16,12 +16,18 @@ Measured on the committed round-3 scenes (scripts/exp_geom_jiggle.py):
     full-PSNR gate makes the procedure never-regress);
   * proposals run as chunked lax.scan device programs (64/program — one
     1024-iteration program crashed the TPU worker);
-  * the safe chunk size SCALES WITH the per-proposal program: 64 works at
-    c4's shapes (512 tiles, k_budget 2048) but crashes the worker at c5's
-    (k_budget 4096, measured twice in round 4 — deterministic, the first
-    chunk program never returns). ``_auto_chunk`` halves the chunk as the
-    cull budget doubles past 2048 so the per-program work stays at the
-    proven envelope; pass ``chunk=`` to override.
+  * the k_budget=4096 proposal program faults the tunneled TPU worker
+    DETERMINISTICALLY (measured three times in round 4: twice at
+    chunk=64, once at chunk=32 — shorter scans do not help, the
+    per-iteration render content does it), while the identical program
+    shape at k_budget=2048 is the round-3/4-proven envelope (c4: 512
+    tiles × K=2048 × chunk 64, hours of cumulative runtime). So the
+    PROPOSAL-LOSS renders cap their budget at ``REFINE_MAX_BUDGET`` —
+    legitimate because the two-batch loss is only an acceptance
+    *estimator*; the caller's full-PSNR greedy gate (at the full
+    configured budget) is what protects correctness. ``_auto_chunk``
+    additionally halves the chunk as the (capped) budget doubles past
+    2048; pass ``chunk=`` to override.
 
 The reference has no counterpart (its 6-7 fat spheres never hit this
 regime); structurally this is the "perturbation escape" arm of 3DGS-MCMC
@@ -42,6 +48,7 @@ from burn_raymarching_tpu.models.scene import SceneParams, activate
 from burn_raymarching_tpu.render.culled import render_diff_culled
 
 CHUNK = 64   # proposals per device program (larger programs crash Mosaic)
+REFINE_MAX_BUDGET = 2048   # proposal-loss cull budget cap (module docstring)
 
 
 def _auto_chunk(k_budget: int) -> int:
@@ -125,6 +132,7 @@ def geometry_refine(
     """
     (ro_a, rd_a, tgt_a), (ro_b, rd_b, tgt_b) = batches
     rc = cfg.render
+    k_budget = min(cfg.cull_budget, REFINE_MAX_BUDGET)
     live = jnp.asarray(mask, jnp.float32)[:, None]
     if select_probs is not None:
         w = jnp.maximum(jnp.asarray(select_probs, jnp.float32), 0.0)
@@ -142,7 +150,7 @@ def geometry_refine(
         c, col, r, ld, amb = activate(params)
         out = render_diff_culled(
             ro, rd, c, col, r, ld, amb, jnp.float32(cfg.max_smooth_k),
-            mask=mask, tile=cfg.cull_tile, k_budget=cfg.cull_budget,
+            mask=mask, tile=cfg.cull_tile, k_budget=k_budget,
             softmax_sharpness=rc.softmax_sharpness,
             mask_sharpness=rc.mask_sharpness,
             coverage_mode=rc.coverage_mode,
@@ -154,7 +162,7 @@ def geometry_refine(
                       cfg.loss.fg_weight, cfg.loss.bg_weight_end)
         return jnp.mean(jnp.abs(out - tgt) * w)
 
-    csize = int(chunk) if chunk else _auto_chunk(cfg.cull_budget)
+    csize = int(chunk) if chunk else _auto_chunk(k_budget)
 
     @jax.jit
     def propose_chunk(params, best_a, best_b, key, sigma_scale):

@@ -214,10 +214,16 @@ def test_refine_noop_when_nothing_accepted(setup):
 
 def test_auto_chunk_scales_with_cull_budget(setup):
     """The safe proposals-per-program envelope (module docstring): 64 at
-    k_budget<=2048, halving as the budget doubles — c5's 4096 budget
-    crashed the TPU worker at 64 (round 4, deterministic)."""
-    from burn_raymarching_tpu.train.refine import _auto_chunk
+    k_budget<=2048, halving as the budget doubles, and the proposal-loss
+    budget itself capped at REFINE_MAX_BUDGET — c5's 4096-budget proposal
+    program faulted the TPU worker deterministically (round 4, three
+    times, chunk 64 AND 32)."""
+    from burn_raymarching_tpu.train.refine import (
+        REFINE_MAX_BUDGET,
+        _auto_chunk,
+    )
 
+    assert REFINE_MAX_BUDGET == 2048
     assert _auto_chunk(16) == 64
     assert _auto_chunk(2048) == 64
     assert _auto_chunk(4096) == 32
