@@ -304,6 +304,16 @@ class TrainConfig:
     # guard compares pre vs post on the SAME subset, so a strided subset
     # only trades detection sensitivity for eval time on many-view rigs.
     stage_guard_views: int = 0
+    # Cap on the cull budget used by derivative-free refinement's
+    # PROPOSAL-LOSS renders (train/refine.py). The default is the measured
+    # worker-fault envelope of this environment's tunneled TPU chip: the
+    # budget-4096 proposal-scan program crashes the TPU worker
+    # deterministically (reproduced 3x in round 4, chunk 64 AND 32) while
+    # 2048 has hours of proven runtime. On healthy hardware raise it to
+    # cover cull_budget so the acceptance estimator sees the full forward;
+    # correctness never depends on it (the caller's full-PSNR gate runs at
+    # the full budget), and refine logs whenever the cap engages.
+    refine_max_budget: int = 2048
     dataset_order: str = "raster"    # "raster" | "morton"
     # Batch construction: "pixel" = the reference's i.i.d. pixel sampler
     # (dataset.rs:47-82). "tile" = sample whole cull_tile-sized Morton

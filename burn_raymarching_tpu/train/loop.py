@@ -182,6 +182,10 @@ class Trainer:
         # own jitted runner, built lazily.
         self._step_fns = {}
         self.loss_history: list[float] = []
+        # Stage-guard telemetry (config.stage_guard): how often the in-run
+        # guard actually fired this run — the at-scale A/B evidence.
+        self.guard_retry_count = 0
+        self.guard_boundary_redo_count = 0
         self.metrics = MetricsLogger(cfg.metrics_jsonl)
         self.t_cache = None
         if self.warm:
@@ -508,6 +512,12 @@ class Trainer:
         frac: float = 0.05,
         tiles: int = 512,
         proposal_bias: str = "uniform",   # "uniform" | "residual"
+        sigma_c: float = 0.3,             # center noise (x primitive radius)
+        sigma_r: float = 0.15,            # raw radius noise
+        sigma_col: float = 0.0,           # joint color-logit proposals
+        accept_temp: float = 0.0,         # Metropolis chain temperature
+        fringe_weight: float = 1.0,       # band-weighted acceptance loss
+        light_proposals: int = 0,         # global light/ambient micro-search
         key: Optional[jax.Array] = None,
         chunk: Optional[int] = None,      # proposals/program (None = auto)
         export: bool = True,
@@ -517,14 +527,24 @@ class Trainer:
         """Derivative-free geometry refinement, greedily PSNR-gated.
 
         Runs train/refine.geometry_refine (stochastic hill-climbing on
-        centers/radii against two disjoint fg-tile ray batches) and keeps a
+        centers/radii — and colors when ``sigma_col`` > 0 — against two
+        disjoint fg-tile ray batches), optionally followed by
+        train/refine.light_refine (``light_proposals`` > 0: the global
+        light_dir/ambient pair under the same gate), and keeps a
         round only if mean train-view PSNR improves — the same
         never-regress contract as ``polish``. Each round samples FRESH
         acceptance batches, so later rounds can move primitives the earlier
         batches did not constrain. Measured on the committed round-3
         scenes: c4 27.62 → 27.95, c5 +0.09 (scripts/exp_geom_jiggle.py,
-        runs/*/refine.json). No reference counterpart (its 6-7 fat spheres
-        never reach this regime) — TPU-native addition.
+        runs/*/refine.json); round 4's gated alternation lifted c4 to
+        28.39 and c5 to 27.98. No reference counterpart (its 6-7 fat
+        spheres never reach this regime) — TPU-native addition.
+
+        ``fringe_weight`` > 1 applies LossConfig.fringe_weight semantics to
+        the ACCEPTANCE loss (the ±2 px silhouette band carries 74% of the
+        residual — runs/c4_headline/error_decomp.json); ``accept_temp`` > 0
+        runs the annealed Metropolis chain (best-snapshot result, see
+        train/refine.py).
 
         Requires the tile-culled configuration (the regime it exists for:
         compact many-primitive clouds trained with use_culling).
@@ -532,6 +552,7 @@ class Trainer:
         from burn_raymarching_tpu.train.evaluate import evaluate_views
         from burn_raymarching_tpu.train.refine import (
             geometry_refine,
+            light_refine,
             sample_fg_tile_batches,
         )
 
@@ -584,12 +605,25 @@ class Trainer:
                 padded, mask, batches, cfg,
                 kern=self.culled_march_normal_fn,
                 proposals=proposals, phases=phases, frac=frac,
+                sigma_c=sigma_c, sigma_r=sigma_r,
+                sigma_col=sigma_col, accept_temp=accept_temp,
+                fringe_weight=fringe_weight,
                 select_probs=select_probs,
                 key=sub, chunk=chunk, log=self.log)
+            n_acc, n_prop = stats.accepted, stats.proposals
+            if light_proposals > 0:
+                key, sub = jax.random.split(key)
+                cand, lstats = light_refine(
+                    cand, mask, batches, cfg,
+                    kern=self.culled_march_normal_fn,
+                    proposals=light_proposals,
+                    fringe_weight=fringe_weight, key=sub, log=self.log)
+                n_acc += lstats.accepted
+                n_prop += lstats.proposals
             cand_psnr = psnr(cand, mask)
             kept = cand_psnr > best_psnr
             self.log(f"=== Refine round {r + 1}/{rounds}: PSNR "
-                     f"{cand_psnr:.2f} ({stats.accepted}/{stats.proposals} "
+                     f"{cand_psnr:.2f} ({n_acc}/{n_prop} "
                      f"proposals, {'kept' if kept else 'reverted'}) ===")
             if kept:
                 best_psnr, padded = cand_psnr, cand
@@ -764,6 +798,7 @@ class Trainer:
                 best = (p, cand)
             if p >= prev["psnr"] - cfg.stage_guard_boundary_db:
                 break
+            self.guard_boundary_redo_count += 1
             self.log(f"  !! stage guard: boundary after stage {stage} cost "
                      f"{prev['psnr'] - p:.2f} dB "
                      f"({prev['psnr']:.2f} -> {p:.2f}) — re-rolling density "
@@ -829,6 +864,8 @@ class Trainer:
                                 else ""))
                     break
                 retryable = attempt < cfg.stage_guard_retries
+                if retryable:
+                    self.guard_retry_count += 1
                 self.log(f"  !! stage guard: stage {stage} PSNR "
                          f"{psnr_post:.2f} < entry {entry_psnr:.2f} "
                          f"{cfg.stage_guard_min_gain_db:+g} — "

@@ -86,6 +86,9 @@ def dist_overhead(reps=4):
     from burn_raymarching_tpu.parallel.distributed import DistributedTrainer
     from burn_raymarching_tpu.train.loop import Trainer, build_dataset
 
+    # The warm-wall estimator needs at least one post-compile rep
+    # (walls[1:] below): reps=1 would min() an empty list (ADVICE r4).
+    reps = max(int(reps), 2)
     cfg = _config1()
     cams = load_cameras(cfg.cameras_json)
     tgts = [load_image_as_array(c["file"]) for c in cams]

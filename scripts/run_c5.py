@@ -161,6 +161,17 @@ def main(argv=None):
                    "PSNR-gated)")
     p.add_argument("--refine-proposals", dest="refine_proposals", type=int,
                    default=768)
+    p.add_argument("--refine-phases", dest="refine_phases", type=int,
+                   default=3, help="noise-anneal phases per refine round "
+                   "(each halves the proposal sigma; acceptance rates rise "
+                   "at the finer scales)")
+    p.add_argument("--refine-sigma-c", dest="refine_sigma_c", type=float,
+                   default=0.3, help="phase-0 center noise in units of "
+                   "each primitive's radius (stacked rounds on a refined "
+                   "scene want finer starting scales)")
+    p.add_argument("--refine-sigma-r", dest="refine_sigma_r", type=float,
+                   default=0.15, help="phase-0 raw (softplus-domain) "
+                   "radius noise")
     p.add_argument("--refine-frac", dest="refine_frac", type=float,
                    default=0.05,
                    help="fraction of live primitives perturbed per refine "
@@ -170,6 +181,30 @@ def main(argv=None):
                    help="proposal selection: 'residual' concentrates "
                    "perturbations on primitives carrying reconstruction "
                    "error (train/residual.py attribution)")
+    p.add_argument("--refine-colors", dest="refine_colors", type=float,
+                   default=0.0, metavar="SIGMA",
+                   help="joint color-logit proposal noise (0 = geometry "
+                   "only; the silhouette band's residual is a "
+                   "color x coverage product)")
+    p.add_argument("--refine-temp", dest="refine_temp", type=float,
+                   default=0.0,
+                   help="Metropolis chain temperature as a fraction of "
+                   "the baseline acceptance loss (0 = greedy; the "
+                   "returned params are always the best-seen snapshot)")
+    p.add_argument("--refine-fringe", dest="refine_fringe", type=float,
+                   default=1.0, metavar="W",
+                   help="band-weighted ACCEPTANCE loss: extra multiplier "
+                   "on dim-silhouette-fringe pixels (where 74%% of the "
+                   "residual lives) in refine's two-batch gate")
+    p.add_argument("--refine-light", dest="refine_light", type=int,
+                   default=0, metavar="N",
+                   help="after each geometry-refine round: N gated "
+                   "proposals over the global (light_dir, ambient) pair")
+    p.add_argument("--refine-max-budget", dest="refine_max_budget",
+                   type=int, default=2048,
+                   help="TrainConfig.refine_max_budget: proposal-loss "
+                   "cull budget cap (default = this chip's measured "
+                   "fault envelope; raise on healthy hardware)")
     p.add_argument("--alternate", type=int, default=0, metavar="R",
                    help="after --polish/--refine: R more rounds of "
                    "(polish 1, refine 1) alternation — every round is "
@@ -283,6 +318,7 @@ def main(argv=None):
         loss=LossConfig(repulsion_far_field=args.far_field,
                         fringe_weight=args.fringe_weight,
                         fringe_threshold=args.fringe_threshold),
+        refine_max_budget=args.refine_max_budget,
         density=DensityConfig(merge_cell=args.merge_cell,
                               split_mode=args.split_mode,
                               split_budget=args.split_budget,
@@ -397,20 +433,27 @@ def main(argv=None):
         padded, mask = trainer.polish(padded, mask, rounds=args.polish,
                                       cameras=cams, targets=tgts,
                                       export=True)
+    refine_kw = dict(proposals=args.refine_proposals,
+                     phases=args.refine_phases,
+                     sigma_c=args.refine_sigma_c,
+                     sigma_r=args.refine_sigma_r,
+                     frac=args.refine_frac,
+                     proposal_bias=args.refine_bias,
+                     sigma_col=args.refine_colors,
+                     accept_temp=args.refine_temp,
+                     fringe_weight=args.refine_fringe,
+                     light_proposals=args.refine_light)
     if args.refine:
         padded, mask = trainer.refine_geometry(
             padded, mask, rounds=args.refine,
-            proposals=args.refine_proposals, frac=args.refine_frac,
-            proposal_bias=args.refine_bias,
-            cameras=cams, targets=tgts, export=True)
+            cameras=cams, targets=tgts, export=True, **refine_kw)
     for _ in range(args.alternate):
         padded, mask = trainer.polish(padded, mask, rounds=1,
                                       cameras=cams, targets=tgts,
                                       export=True)
         padded, mask = trainer.refine_geometry(
-            padded, mask, rounds=1, proposals=args.refine_proposals,
-            frac=args.refine_frac, proposal_bias=args.refine_bias,
-            cameras=cams, targets=tgts, export=True)
+            padded, mask, rounds=1,
+            cameras=cams, targets=tgts, export=True, **refine_kw)
     results["train_wall_s"] = round(time.perf_counter() - t0, 1)
     t0 = time.perf_counter()
     results["trained"] = psnr(padded, mask, trainer._cull_render())
@@ -430,6 +473,10 @@ def main(argv=None):
                    mask_px=args.mask_px, mask_sharp=args.mask_sharp,
                    polish=args.polish, refine=args.refine,
                    alternate=args.alternate, refine_bias=args.refine_bias,
+                   refine_colors=args.refine_colors,
+                   refine_temp=args.refine_temp,
+                   refine_fringe=args.refine_fringe,
+                   refine_light=args.refine_light,
                    from_scene=args.from_scene,
                    coverage=args.coverage,
                    coverage_stages=args.coverage_stages,

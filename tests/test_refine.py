@@ -212,6 +212,147 @@ def test_refine_noop_when_nothing_accepted(setup):
                                   np.asarray(padded.radii))
 
 
+def test_refine_color_proposals_move_colors(setup):
+    """sigma_col > 0: accepted proposals may move the selected live
+    primitives' color logits; light and padded slots stay fixed."""
+    cfg, ds = setup
+    params = init_scene_params(7)
+    padded, mask = pad_params(params, 8)
+    batches = sample_fg_tile_batches(ds, tiles=4, tile=cfg.cull_tile)
+    refined, stats = geometry_refine(
+        padded, mask, batches, cfg, proposals=64, phases=1,
+        sigma_col=0.5, key=jax.random.PRNGKey(0), log=lambda s: None)
+    assert stats.accepted >= 1
+    assert np.abs(np.asarray(refined.colors)[:7]
+                  - np.asarray(padded.colors)[:7]).max() > 0
+    np.testing.assert_array_equal(np.asarray(refined.colors)[7:],
+                                  np.asarray(padded.colors)[7:])
+    np.testing.assert_array_equal(np.asarray(refined.light_dir),
+                                  np.asarray(padded.light_dir))
+
+
+def test_refine_annealed_returns_best_snapshot(setup):
+    """accept_temp > 0: the Metropolis chain may wander uphill, but the
+    returned params are the strict-improvement best snapshot — loss_after
+    never exceeds loss_before, and with zero noise nothing changes."""
+    cfg, ds = setup
+    params = init_scene_params(7)
+    padded, mask = pad_params(params, 8)
+    batches = sample_fg_tile_batches(ds, tiles=4, tile=cfg.cull_tile)
+    refined, stats = geometry_refine(
+        padded, mask, batches, cfg, proposals=64, phases=2,
+        accept_temp=0.05, key=jax.random.PRNGKey(0), log=lambda s: None)
+    assert stats.loss_after <= stats.loss_before
+    for leaf in jax.tree.leaves(refined):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # Zero-noise chain: candidates equal the current params, strict-<
+    # best updates reject them, result is bit-identical.
+    refined0, stats0 = geometry_refine(
+        padded, mask, batches, cfg, proposals=32, phases=1,
+        accept_temp=0.5, sigma_c=0.0, sigma_r=0.0,
+        key=jax.random.PRNGKey(0), log=lambda s: None)
+    assert stats0.accepted == 0
+    np.testing.assert_array_equal(np.asarray(refined0.centers),
+                                  np.asarray(padded.centers))
+
+
+def test_refine_fringe_weighted_acceptance(setup):
+    """fringe_weight changes the acceptance loss scale (band upweighted)
+    but the procedure still descends and only touches live geometry."""
+    cfg, ds = setup
+    params = init_scene_params(7)
+    padded, mask = pad_params(params, 8)
+    batches = sample_fg_tile_batches(ds, tiles=4, tile=cfg.cull_tile)
+    refined, stats = geometry_refine(
+        padded, mask, batches, cfg, proposals=64, phases=1,
+        fringe_weight=10.0, key=jax.random.PRNGKey(0), log=lambda s: None)
+    assert stats.loss_after <= stats.loss_before
+    assert np.isfinite(stats.loss_before) and stats.loss_before > 0
+    np.testing.assert_array_equal(np.asarray(refined.colors),
+                                  np.asarray(padded.colors))
+
+
+def test_light_refine_moves_only_light(setup):
+    from burn_raymarching_tpu.train.refine import light_refine
+
+    cfg, ds = setup
+    params = init_scene_params(7)
+    padded, mask = pad_params(params, 8)
+    batches = sample_fg_tile_batches(ds, tiles=4, tile=cfg.cull_tile)
+    refined, stats = light_refine(
+        padded, mask, batches, cfg, proposals=32,
+        key=jax.random.PRNGKey(0), log=lambda s: None)
+    assert stats.loss_after <= stats.loss_before
+    np.testing.assert_array_equal(np.asarray(refined.centers),
+                                  np.asarray(padded.centers))
+    np.testing.assert_array_equal(np.asarray(refined.colors),
+                                  np.asarray(padded.colors))
+    np.testing.assert_array_equal(np.asarray(refined.radii),
+                                  np.asarray(padded.radii))
+    if stats.accepted:
+        moved = (np.abs(np.asarray(refined.light_dir)
+                        - np.asarray(padded.light_dir)).max() > 0
+                 or np.abs(np.asarray(refined.ambient)
+                           - np.asarray(padded.ambient)).max() > 0)
+        assert moved
+
+
+def test_refine_budget_cap_is_config_and_logged(setup):
+    """refine_max_budget caps the proposal-loss budget (logged when it
+    engages) and is CLI-plumbed; invalid chunk values are rejected
+    (ADVICE r4)."""
+    import dataclasses
+
+    from burn_raymarching_tpu.train.refine import _capped_budget
+
+    cfg, ds = setup
+    logs = []
+    capped = dataclasses.replace(cfg, cull_budget=64, refine_max_budget=16)
+    assert _capped_budget(capped, logs.append) == 16
+    assert logs and "capped 64 -> 16" in logs[0]
+    logs.clear()
+    uncapped = dataclasses.replace(cfg, cull_budget=16,
+                                   refine_max_budget=4096)
+    assert _capped_budget(uncapped, logs.append) == 16
+    assert not logs
+
+    params = init_scene_params(7)
+    padded, mask = pad_params(params, 8)
+    batches = sample_fg_tile_batches(ds, tiles=2, tile=cfg.cull_tile)
+    with pytest.raises(ValueError, match="chunk"):
+        geometry_refine(padded, mask, batches, cfg, proposals=8,
+                        phases=1, chunk=0, key=jax.random.PRNGKey(0),
+                        log=lambda s: None)
+
+
+def test_trainer_refine_widened_composition(setup, tmp_path, monkeypatch):
+    """The production composition with every widened family on at once
+    (colors + light + fringe acceptance + annealed chain)."""
+    import dataclasses
+
+    from burn_raymarching_tpu.data.image_io import load_image_as_array
+    from burn_raymarching_tpu.data.scene_io import load_cameras
+    from burn_raymarching_tpu.train.loop import Trainer
+
+    cfg, ds = setup
+    cams = load_cameras(cfg.cameras_json)[:1]
+    tgts = [load_image_as_array(c["file"]) for c in cams]
+    monkeypatch.chdir(tmp_path)
+    cfg = dataclasses.replace(
+        cfg, stages=1, steps_per_stage=20, steps_per_call=20,
+        use_pallas=False, checkpoint_dir=None,
+        scene_json="scene.json", steps_dir="steps")
+    tr = Trainer(cfg, ds, log=lambda s: None)
+    padded, mask = tr.run()
+    padded2, mask2 = tr.refine_geometry(
+        padded, mask, rounds=1, proposals=32, tiles=2,
+        sigma_col=0.3, accept_temp=0.05, fringe_weight=4.0,
+        light_proposals=16, cameras=cams, targets=tgts)
+    for leaf in jax.tree.leaves(padded2):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert int(np.asarray(mask2).sum()) == int(np.asarray(mask).sum())
+
+
 def test_auto_chunk_scales_with_cull_budget(setup):
     """The safe proposals-per-program envelope (module docstring): 64 at
     k_budget<=2048, halving as the budget doubles, and the proposal-loss
