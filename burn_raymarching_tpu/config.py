@@ -251,7 +251,14 @@ class TrainConfig:
     # Steps executed per device call (lax.scan chunk). Amortizes host→device
     # dispatch; must divide steps_per_stage evenly or 1. Logging happens at
     # chunk boundaries (the reference logs every 100 steps, train.rs:200).
-    steps_per_call: int = 100
+    # 0 = AUTO: the largest divisor of steps_per_stage up to the driver's
+    # target — 100 on the single-chip Trainer (the reference's log cadence),
+    # 350 on the sharded DistributedTrainer, where each chunk boundary
+    # costs ~31 ms (shard_map materializes grads at the program edge) and
+    # the measured overhead curve crosses <10% only at spc≈350
+    # (runs/r4_hw/dist_overhead_spc.json: +13.0% at 100, +4.9% at 350 —
+    # VERDICT r4 item 3). Explicit values are honored as before.
+    steps_per_call: int = 0
     # lax.scan unroll factor for the step chunk: each scan iteration carries
     # ~0.23 ms of fixed runtime overhead on this environment (measured with
     # an empty body) — ~15% of a 1.5 ms dense step. Unrolling k steps per

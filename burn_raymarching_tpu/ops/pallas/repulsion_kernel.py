@@ -267,6 +267,7 @@ def cluster_repulsion_fused(
     block_c: int = 8,
     interpret: bool = False,
     far_field: str = "member",
+    static=None,              # train/loss.RepulsionStatic (per-chunk frozen)
 ) -> jax.Array:
     """Drop-in TPU replacement for train/loss.cluster_repulsion (same
     near/far decomposition, same epsilons and +100 self-pair offset); the
@@ -281,33 +282,55 @@ def cluster_repulsion_fused(
 
     The prep below intentionally mirrors train/loss.cluster_repulsion
     line-for-line so gradients through the member gather, the centroid
-    means and the neighbor selection are identical.
+    means and the neighbor selection are identical. ``static`` freezes the
+    non-differentiable half of that prep (top-k neighbors, validity,
+    counts, far weights — train/loss.RepulsionStatic) between refreshes;
+    the differentiable member/neighbor positions and centroids are always
+    recomputed live, and the neighbor gather collapses to ONE direct
+    take(centers, nbm_idx) instead of the chained member-then-neighbor
+    gathers (identical value and gradient).
     """
     member_idx = clusters.member_idx
-    member_valid = clusters.member_valid
-    if mask is not None:
-        member_valid = member_valid & jnp.take(mask.astype(bool), member_idx)
     c_count, g = member_idx.shape
-    cs = jnp.take(centers, member_idx.reshape(-1), axis=0).reshape(
-        c_count, g, 3)
-    w = member_valid.astype(centers.dtype)                    # [C, G]
-    counts = jnp.sum(w, axis=1)                               # [C]
-    centroids = (jnp.sum(cs * w[..., None], axis=1)
-                 / jnp.maximum(counts, 1.0)[:, None])         # [C, 3]
-    w_near = min(near_clusters, c_count)
+    if static is not None:
+        w = static.w
+        counts = static.counts
+        w_near = static.nb.shape[1]
+        nb_members = static.nbm_idx                           # [C, W·G]
+        nb_w = static.nb_w
+        far_w = static.far_w
+        cs = jnp.take(centers, member_idx.reshape(-1), axis=0).reshape(
+            c_count, g, 3)
+        centroids = (jnp.sum(cs * w[..., None], axis=1)
+                     / jnp.maximum(counts, 1.0)[:, None])     # [C, 3]
+        nb_cs = jnp.take(centers, nb_members.reshape(-1), axis=0).reshape(
+            c_count, w_near * g, 3)
+        cd2 = None
+    else:
+        member_valid = clusters.member_valid
+        if mask is not None:
+            member_valid = member_valid & jnp.take(mask.astype(bool),
+                                                   member_idx)
+        cs = jnp.take(centers, member_idx.reshape(-1), axis=0).reshape(
+            c_count, g, 3)
+        w = member_valid.astype(centers.dtype)                # [C, G]
+        counts = jnp.sum(w, axis=1)                           # [C]
+        centroids = (jnp.sum(cs * w[..., None], axis=1)
+                     / jnp.maximum(counts, 1.0)[:, None])     # [C, 3]
+        w_near = min(near_clusters, c_count)
 
-    cd2 = jnp.sum((centroids[:, None, :] - centroids[None, :, :]) ** 2,
-                  axis=2)
-    cd2 = jnp.where((counts > 0)[None, :], cd2, jnp.inf)
-    _, nb = jax.lax.top_k(-cd2, w_near)                       # [C, W]
+        cd2 = jnp.sum((centroids[:, None, :] - centroids[None, :, :]) ** 2,
+                      axis=2)
+        cd2 = jnp.where((counts > 0)[None, :], cd2, jnp.inf)
+        _, nb = jax.lax.top_k(-cd2, w_near)                   # [C, W]
 
-    nb_members = jnp.take(member_idx, nb, axis=0).reshape(c_count,
-                                                          w_near * g)
-    nb_cs = jnp.take(cs, nb, axis=0).reshape(c_count, w_near * g, 3)
-    nb_w = jnp.take(w, nb, axis=0).reshape(c_count, w_near * g)
-    near_hot = jnp.sum(jax.nn.one_hot(nb, c_count, dtype=centers.dtype),
-                       axis=1)                                # [C, C]
-    far_w = (1.0 - near_hot) * counts[None, :]                # [C, C_all]
+        nb_members = jnp.take(member_idx, nb, axis=0).reshape(c_count,
+                                                              w_near * g)
+        nb_cs = jnp.take(cs, nb, axis=0).reshape(c_count, w_near * g, 3)
+        nb_w = jnp.take(w, nb, axis=0).reshape(c_count, w_near * g)
+        near_hot = jnp.sum(jax.nn.one_hot(nb, c_count, dtype=centers.dtype),
+                           axis=1)                            # [C, C]
+        far_w = (1.0 - near_hot) * counts[None, :]            # [C, C_all]
 
     # Pad: neighbor columns to a lane multiple (zero weight), cluster rows
     # to the block size (zero weight rows contribute exactly nothing), the
@@ -345,7 +368,14 @@ def cluster_repulsion_fused(
     if not include_far:
         # Monopole far field in plain XLA — [C, C] is a few hundred KB even
         # at M=51k, and reverse AD through it routes centroid gradients back
-        # through the same differentiable prep as the member mode.
+        # through the same differentiable prep as the member mode. On the
+        # static path the centroid distances must stay LIVE (only the
+        # top-k/weights are frozen), so recompute them with the same
+        # empty-cluster masking.
+        if cd2 is None:
+            cd2 = jnp.sum(
+                (centroids[:, None, :] - centroids[None, :, :]) ** 2, axis=2)
+            cd2 = jnp.where((counts > 0)[None, :], cd2, jnp.inf)
         dist_cc = jnp.sqrt(jnp.maximum(cd2, 1e-6))
         inv_cc = 1.0 / (dist_cc + 1e-6)
         s = s + jnp.sum(far_w * counts[:, None] * inv_cc)

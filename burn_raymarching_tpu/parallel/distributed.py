@@ -171,6 +171,16 @@ class DistributedTrainer(Trainer):
 
     # --- step construction -------------------------------------------- #
 
+    def _chunk_target(self) -> int:
+        """Sharded auto steps_per_call: each chunk boundary costs ~31 ms
+        (shard_map materializes gradients at the program edge) and the
+        measured overhead vs the single-chip driver crosses the <10% bar
+        only around 350 steps/call (+13.0% at 100, +4.9% at 350 —
+        runs/r4_hw/dist_overhead_spc.json). Auto mode therefore targets
+        350 so an out-of-the-box --distributed run pays <10%; explicit
+        cfg.steps_per_call still wins (config.steps_per_call)."""
+        return 350
+
     def _build_step(self, render_overrides=None):
         return make_sharded_chunk_runner(
             self._stage_cfg(render_overrides), self.mesh, self.tx,

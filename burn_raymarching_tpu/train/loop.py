@@ -172,9 +172,7 @@ class Trainer:
             self._sample_fg = (fg_t, jnp.asarray(n_t, jnp.int32))
         else:
             self._sample_fg = (dataset.fg_indices, dataset.n_fg)
-        self._chunk = (cfg.steps_per_call
-                       if cfg.steps_per_stage % cfg.steps_per_call == 0
-                       else 1)
+        self._chunk = self._resolve_chunk()
         self._step_fn = self._build_step()
         # Per-stage step programs (coverage_mode_stages /
         # mask_sharpness_stages): the render family/sharpness are static
@@ -190,6 +188,28 @@ class Trainer:
         self.t_cache = None
         if self.warm:
             self.t_cache = self._init_t_cache()
+
+    def _chunk_target(self) -> int:
+        """Auto steps_per_call ceiling: the reference's 100-step log
+        cadence (train.rs:200). The sharded driver raises it — its chunk
+        boundaries cost ~31 ms each (see config.steps_per_call)."""
+        return 100
+
+    def _resolve_chunk(self) -> int:
+        """steps_per_call resolution: explicit values as given (divisor
+        of steps_per_stage or fall back to 1, as before); 0 = the largest
+        divisor of steps_per_stage up to the driver's target."""
+        cfg = self.cfg
+        if cfg.steps_per_call:
+            return (cfg.steps_per_call
+                    if cfg.steps_per_stage % cfg.steps_per_call == 0
+                    else 1)
+        best = 1
+        for d in range(1, min(self._chunk_target(),
+                              cfg.steps_per_stage) + 1):
+            if cfg.steps_per_stage % d == 0:
+                best = d
+        return best
 
     def _warm_gate(self) -> bool:
         """Warm-start availability: the culled path always has a march
@@ -339,13 +359,33 @@ class Trainer:
         def run_chunk(params, opt_state, key, mask, packed, fg_indices, n_fg,
                       t_cache, stage, step0, cl_member_idx, cl_member_valid):
             lr_scales = lr_scale_tree(cfg, stage)
+            # Freeze the repulsion prep's non-differentiable half ONCE per
+            # chunk (top-k neighbors, validity, counts, far weights —
+            # train/loss.RepulsionStatic): its per-step recompute cost
+            # ~0.5 ms of the M=51k warm step while carrying no gradients;
+            # only WHICH cluster pairs are near vs monopole lags by a
+            # chunk (~100 steps at lr_centers ≲ 1e-3·base_lr).
+            rep_static = None
+            if cfg.cluster_repulsion and cl_member_idx.shape[0] > 0:
+                from burn_raymarching_tpu.ops.culling import (
+                    PrimitiveClusters,
+                )
+                from burn_raymarching_tpu.train.loss import (
+                    build_repulsion_static,
+                )
+
+                rep_static = build_repulsion_static(
+                    params.centers,
+                    PrimitiveClusters(cl_member_idx, cl_member_valid),
+                    mask)
 
             def one_step(carry, i):
                 params, opt_state, t_cache = carry
                 k = jax.random.fold_in(key, i)
                 loss, grads, t_cache, lr = device_step(
                     params, k, i, stage, step0, mask, packed, fg_indices,
-                    n_fg, t_cache, cl_member_idx, cl_member_valid)
+                    n_fg, t_cache, cl_member_idx, cl_member_valid,
+                    rep_static=rep_static)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
                 params = jax.tree.map(lambda p, u, s: p - lr * s * u, params,
                                       updates, lr_scales)

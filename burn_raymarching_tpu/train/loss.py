@@ -18,13 +18,74 @@ Terms (reference lines cited inline):
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from burn_raymarching_tpu.config import LossConfig
 from burn_raymarching_tpu.models.scene import SceneParams
+
+
+class RepulsionStatic(NamedTuple):
+    """The NON-DIFFERENTIABLE prep of the two-level repulsion, frozen
+    between refreshes (train/loop builds it once per scan chunk).
+
+    Every field is gradient-free by construction in the per-step path:
+    neighbor-cluster ids are top_k INDICES, validity/counts depend only on
+    the (static) cluster table and mask, and the far-weight rows are a
+    pure function of those. Freezing them for a chunk (~100 steps at
+    lr_centers ≲ 1e-3·base_lr) only lags WHICH cluster pairs get the
+    exact near field vs the monopole far field — an approximation-order
+    choice, not a gradient-topology change; the per-step differentiable
+    pieces (member positions, centroids, neighbor positions) are always
+    recomputed live. Measured motivation: the per-step prep (top-k +
+    one-hot + table gathers) cost ~1.4 ms of the 6.94 ms M=51k warm step
+    (docs/PARITY.md; VERDICT r4 item 2).
+    """
+
+    nb: jax.Array        # [C, W] int32 near-cluster ids (own included)
+    nbm_idx: jax.Array   # [C, W·G] int32 neighbor-member primitive ids
+    nb_w: jax.Array      # [C, W·G] f32 neighbor-member validity
+    far_w: jax.Array     # [C, C] f32 (1 - near_hot) * counts row weights
+    counts: jax.Array    # [C] f32 live members per cluster
+    w: jax.Array         # [C, G] f32 member validity
+
+
+def build_repulsion_static(
+    centers: jax.Array,       # [M, 3] (detached inside)
+    clusters,                 # ops.culling.PrimitiveClusters
+    mask: Optional[jax.Array],
+    near_clusters: int = 8,
+) -> RepulsionStatic:
+    """Freeze the repulsion prep from the CURRENT centers (jittable; call
+    at chunk boundaries). Mirrors cluster_repulsion's own prep exactly —
+    with identical centers the static path reproduces the on-the-fly path
+    bit-for-bit (tests/test_repulsion_kernel.py)."""
+    centers = jax.lax.stop_gradient(centers)
+    member_idx = clusters.member_idx
+    member_valid = clusters.member_valid
+    if mask is not None:
+        member_valid = member_valid & jnp.take(mask.astype(bool), member_idx)
+    c_count, g = member_idx.shape
+    w = member_valid.astype(jnp.float32)
+    counts = jnp.sum(w, axis=1)
+    cs = jnp.take(centers, member_idx.reshape(-1), axis=0).reshape(
+        c_count, g, 3)
+    centroids = (jnp.sum(cs * w[..., None], axis=1)
+                 / jnp.maximum(counts, 1.0)[:, None])
+    w_near = min(near_clusters, c_count)
+    cd2 = jnp.sum((centroids[:, None, :] - centroids[None, :, :]) ** 2,
+                  axis=2)
+    cd2 = jnp.where((counts > 0)[None, :], cd2, jnp.inf)
+    _, nb = jax.lax.top_k(-cd2, w_near)
+    nbm_idx = jnp.take(member_idx, nb, axis=0).reshape(c_count, w_near * g)
+    nb_w = jnp.take(w, nb, axis=0).reshape(c_count, w_near * g)
+    near_hot = jnp.sum(jax.nn.one_hot(nb, c_count, dtype=jnp.float32),
+                       axis=1)
+    far_w = (1.0 - near_hot) * counts[None, :]
+    return RepulsionStatic(nb.astype(jnp.int32), nbm_idx.astype(jnp.int32),
+                           nb_w, far_w, counts, w)
 
 
 def _masked_mean(
@@ -58,6 +119,7 @@ def cluster_repulsion(
     near_clusters: int = 8,
     model_axis: Optional[str] = None,
     far_field: str = "member",
+    static: Optional[RepulsionStatic] = None,
 ) -> jax.Array:
     """Barnes-Hut-style approximation of the pairwise repulsion mean for
     large M: exact 1/(d+100·I+1e-6) over pairs whose clusters are among the
@@ -84,36 +146,58 @@ def cluster_repulsion(
     C×4 floats) are all-gathered so every remote cluster contributes as a
     monopole, and the partial sums are psum'd. Since the global Morton order
     is contiguous per shard, cross-shard cluster pairs are boundary cases.
+
+    ``static`` (single-device only) supplies the frozen non-differentiable
+    prep (see RepulsionStatic); the differentiable pieces are recomputed
+    live either way, so with identical centers the two paths agree exactly.
     """
     member_idx = clusters.member_idx
-    member_valid = clusters.member_valid
-    if mask is not None:
-        member_valid = member_valid & jnp.take(mask.astype(bool), member_idx)
     c_count, g = member_idx.shape
+    if static is not None:
+        if model_axis is not None:
+            raise ValueError("static repulsion tables are single-device "
+                             "(the sharded path computes its prep in-step)")
+        w = static.w
+        counts = static.counts
+        w_near = static.nb.shape[1]
+        nb = static.nb
+        nbm_flat = static.nbm_idx                            # [C, W·G]
+        nb_w = static.nb_w
+        cd2 = None
+    else:
+        member_valid = clusters.member_valid
+        if mask is not None:
+            member_valid = member_valid & jnp.take(mask.astype(bool),
+                                                   member_idx)
+        w = member_valid.astype(centers.dtype)               # [C, G]
+        counts = jnp.sum(w, axis=1)                          # [C]
+        w_near = min(near_clusters, c_count)
     cs = jnp.take(centers, member_idx.reshape(-1), axis=0).reshape(
         c_count, g, 3)
-    w = member_valid.astype(centers.dtype)                   # [C, G]
-    counts = jnp.sum(w, axis=1)                              # [C]
     centroids = (jnp.sum(cs * w[..., None], axis=1)
                  / jnp.maximum(counts, 1.0)[:, None])        # [C, 3]
-    w_near = min(near_clusters, c_count)
 
-    # W nearest clusters per cluster (own included — centroid distance 0).
-    cd2 = jnp.sum((centroids[:, None, :] - centroids[None, :, :]) ** 2,
-                  axis=2)                                    # [C, C]
-    # Empty clusters pushed to the end so they never displace live ones.
-    cd2 = jnp.where((counts > 0)[None, :], cd2, jnp.inf)
-    _, nb = jax.lax.top_k(-cd2, w_near)                      # [C, W]
+    if static is None:
+        # W nearest clusters per cluster (own included — distance 0).
+        cd2 = jnp.sum((centroids[:, None, :] - centroids[None, :, :]) ** 2,
+                      axis=2)                                # [C, C]
+        # Empty clusters pushed to the end so they never displace live ones.
+        cd2 = jnp.where((counts > 0)[None, :], cd2, jnp.inf)
+        _, nb = jax.lax.top_k(-cd2, w_near)                  # [C, W]
+        nbm_flat = jnp.take(member_idx, nb, axis=0).reshape(
+            c_count, w_near * g)
+        nb_w = jnp.take(w, nb, axis=0).reshape(c_count, w_near * g)
 
     # Exact near-field pairs: members of each cluster vs members of its W
     # nearest clusters, with the reference's +100 on true self-pairs.
-    nb_members = jnp.take(member_idx, nb, axis=0)            # [C, W, G]
-    nb_cs = jnp.take(cs, nb, axis=0).reshape(c_count, w_near * g, 3)
-    nb_w = jnp.take(w, nb, axis=0).reshape(c_count, w_near * g)
+    # take(cs, nb) == take(centers, member_idx[nb]) — the direct gather is
+    # identical in value and gradient and skips the chained intermediate.
+    nb_cs = jnp.take(centers, nbm_flat.reshape(-1), axis=0).reshape(
+        c_count, w_near * g, 3)
     d2 = jnp.sum((cs[:, :, None, :] - nb_cs[:, None, :, :]) ** 2, axis=3)
     dist = jnp.sqrt(jnp.maximum(d2, 1e-6))                   # [C, G, W·G]
     self_pair = (member_idx[:, :, None]
-                 == nb_members.reshape(c_count, 1, w_near * g))
+                 == nbm_flat.reshape(c_count, 1, w_near * g))
     inv = 1.0 / (dist + self_pair.astype(dist.dtype) * 100.0 + 1e-6)
     s_near = jnp.sum(inv * w[:, :, None] * nb_w[:, None, :])
 
@@ -129,30 +213,38 @@ def cluster_repulsion(
         counts_all = jax.lax.all_gather(counts, model_axis).reshape(-1)
         col_offset = jax.lax.axis_index(model_axis) * c_count
     c_all_count = cents_all.shape[0]
-    near_hot = jnp.sum(
-        jax.nn.one_hot(nb + col_offset, c_all_count, dtype=centers.dtype),
-        axis=1)                                              # [C, C_all]
+    if static is not None:
+        far_w_rows = static.far_w                            # [C, C_all]
+    else:
+        near_hot = jnp.sum(
+            jax.nn.one_hot(nb + col_offset, c_all_count,
+                           dtype=centers.dtype),
+            axis=1)                                          # [C, C_all]
+        far_w_rows = (1.0 - near_hot) * counts_all[None, :]
     if far_field == "monopole":
         # Centroid↔centroid monopoles: counts_i·counts_j / dist(cent_i,
         # cent_j) for every non-near pair. Empty clusters contribute zero
         # weight on both sides; the local [C, C] distances are the top-k
-        # input reused (inf on empty columns → inv 0 → exact zero term).
-        if model_axis is None:
+        # input reused (inf on empty columns → inv 0 → exact zero term —
+        # recomputed with the same masking on the static path, where the
+        # top-k input is frozen but the distances must stay live).
+        if model_axis is None and cd2 is not None:
             ccd2 = cd2
         else:
             ccd2 = jnp.sum(
                 (centroids[:, None, :] - cents_all[None, :, :]) ** 2, axis=2)
+            if static is not None:
+                ccd2 = jnp.where((counts_all > 0)[None, :], ccd2, jnp.inf)
         dist_cc = jnp.sqrt(jnp.maximum(ccd2, 1e-6))          # [C, C_all]
         inv_cc = 1.0 / (dist_cc + 1e-6)
-        s_far = jnp.sum((1.0 - near_hot) * counts[:, None]
-                        * counts_all[None, :] * inv_cc)
+        s_far = jnp.sum(far_w_rows * counts[:, None] * inv_cc)
     else:
         flat_c = cs.reshape(c_count * g, 3)
         flat_w = w.reshape(c_count * g)
         diff = flat_c[:, None, :] - cents_all[None, :, :]    # [M_l, C_all, 3]
         dist_f = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=2), 1e-6))
         inv_f = 1.0 / (dist_f + 1e-6)
-        far_w = (1.0 - near_hot)[:, None, :] * counts_all[None, None, :]
+        far_w = far_w_rows[:, None, :]
         far_w = jnp.broadcast_to(far_w, (c_count, g, c_all_count)).reshape(
             c_count * g, c_all_count)
         s_far = jnp.sum(inv_f * flat_w[:, None] * far_w)
@@ -173,6 +265,7 @@ def compute_loss(
     model_axis: Optional[str] = None,   # set inside shard_map when M is sharded
     repulsion_clusters=None,  # PrimitiveClusters → two-level repulsion
     repulsion_fn=None,        # TPU: ops.pallas.repulsion_kernel fused VJP
+    repulsion_static=None,    # RepulsionStatic (single-device, per-chunk)
 ) -> jax.Array:
     # --- 1. Weighted L1 reconstruction (training.rs:15-34) ---
     abs_diff = jnp.abs(output - target)
@@ -226,12 +319,16 @@ def compute_loss(
             # (ops/pallas/repulsion_kernel.py) — same decomposition.
             repulsion = repulsion_fn(params.centers, repulsion_clusters,
                                      mask, n_valid,
-                                     far_field=cfg.repulsion_far_field)
+                                     far_field=cfg.repulsion_far_field,
+                                     static=repulsion_static)
         else:
             repulsion = cluster_repulsion(params.centers, repulsion_clusters,
                                           mask, n_valid,
                                           model_axis=model_axis,
-                                          far_field=cfg.repulsion_far_field)
+                                          far_field=cfg.repulsion_far_field,
+                                          static=(repulsion_static
+                                                  if model_axis is None
+                                                  else None))
         return loss + repulsion * cfg.repulsion_coeff
     # With M sharded, each device holds the [M_local, M_global] row block:
     # centers (tiny) are all-gathered, the row sums psum'd.

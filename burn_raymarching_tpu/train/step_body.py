@@ -203,7 +203,7 @@ def make_device_step(
     """
 
     def device_step(params, key, i, stage, step0, mask, packed, fg_indices,
-                    n_fg, t_cache, cl_idx, cl_valid):
+                    n_fg, t_cache, cl_idx, cl_valid, rep_static=None):
         # 1-based step within the stage (reference train.rs:169).
         step = step0 + i + 1
         progress, smooth_k, uniform_ratio, lr = schedule_for_step(
@@ -439,8 +439,12 @@ def make_device_step(
                 p, out, tgt, progress, mask=mask, cfg=cfg.loss,
                 model_axis=model_axis,
                 repulsion_clusters=rep_clusters,
-                # The fused repulsion kernel is single-device-table only.
-                repulsion_fn=repulsion_fn if model_axis is None else None)
+                # The fused repulsion kernel is single-device-table only,
+                # as are the chunk-frozen static prep tables (the sharded
+                # path computes its prep in-step).
+                repulsion_fn=repulsion_fn if model_axis is None else None,
+                repulsion_static=(rep_static if model_axis is None
+                                  else None))
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         if data_axis is not None:

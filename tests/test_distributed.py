@@ -147,3 +147,32 @@ def test_distributed_residual_split_grows(tiny_dataset):
     assert n_final > 12
     for leaf in [padded.centers, padded.colors, padded.radii]:
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_auto_steps_per_call_targets(tiny_dataset):
+    """steps_per_call=0 (auto) resolves to the largest divisor of
+    steps_per_stage up to the driver target: 100 single-chip, 350 sharded
+    (the measured <10%-overhead point, runs/r4_hw/dist_overhead_spc.json
+    — VERDICT r4 item 3). Explicit values are honored unchanged."""
+    from burn_raymarching_tpu.train.loop import Trainer
+
+    def single(**kw):
+        cfg = TrainConfig(batch_size=64, use_pallas=False,
+                          checkpoint_dir=None, **kw)
+        return Trainer(cfg, tiny_dataset, log=lambda s: None)._chunk
+
+    def sharded(**kw):
+        cfg = TrainConfig(batch_size=64, use_pallas=False,
+                          checkpoint_dir=None, **kw)
+        return DistributedTrainer(cfg, tiny_dataset, data=8, model=1,
+                                  log=lambda s: None)._chunk
+
+    assert single(steps_per_stage=700) == 100
+    assert single(steps_per_stage=1000) == 100
+    assert single(steps_per_stage=40) == 40
+    assert single(steps_per_stage=701) == 1          # prime: no divisor
+    assert single(steps_per_stage=700, steps_per_call=70) == 70
+    assert single(steps_per_stage=700, steps_per_call=3) == 1  # non-divisor
+    assert sharded(steps_per_stage=700) == 350
+    assert sharded(steps_per_stage=1000) == 250
+    assert sharded(steps_per_stage=700, steps_per_call=100) == 100

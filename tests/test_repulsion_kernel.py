@@ -137,3 +137,87 @@ def test_compute_loss_routes_fused():
     np.testing.assert_allclose(np.asarray(g_pl.centers),
                                np.asarray(g_ref.centers),
                                rtol=1e-4, atol=1e-8)
+
+
+# --------------------------------------------------------------------- #
+# Chunk-frozen static prep (train/loss.RepulsionStatic, round 5)
+# --------------------------------------------------------------------- #
+
+def test_static_prep_matches_live_prep_exactly():
+    """With tables built from the SAME centers, the static path must
+    reproduce the on-the-fly path bit-for-bit (value and gradient) on
+    both the XLA and the fused route, both far-field modes."""
+    from burn_raymarching_tpu.train.loss import build_repulsion_static
+
+    centers, mask, cl, n_valid = make_cloud(200, seed=7)
+    static = build_repulsion_static(centers, cl, mask)
+    for ff in ("member", "monopole"):
+        v0, g0 = jax.value_and_grad(
+            lambda c: cluster_repulsion(c, cl, mask, n_valid,
+                                        far_field=ff))(centers)
+        v1, g1 = jax.value_and_grad(
+            lambda c: cluster_repulsion(c, cl, mask, n_valid,
+                                        far_field=ff,
+                                        static=static))(centers)
+        np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=1e-5, atol=1e-7 * float(
+                                       jnp.max(jnp.abs(g0))))
+        v2, g2 = jax.value_and_grad(
+            lambda c: fused(c, cl, mask, n_valid, far_field=ff,
+                            static=static))(centers)
+        np.testing.assert_allclose(float(v2), float(v0), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g0),
+                                   rtol=1e-4, atol=1e-5 * float(
+                                       jnp.max(jnp.abs(g0))))
+
+
+def test_static_prep_carries_no_center_gradient():
+    """The frozen tables are non-differentiable by construction: moving
+    the centers the tables were built from must not change the gradient
+    path (tables are constants under AD)."""
+    from burn_raymarching_tpu.train.loss import build_repulsion_static
+
+    centers, mask, cl, n_valid = make_cloud(96, seed=13)
+    static = build_repulsion_static(centers, cl, mask)
+    moved = centers + 0.01  # stale tables, live geometry
+
+    def f(c):
+        return cluster_repulsion(c, cl, mask, n_valid, static=static)
+
+    v, g = jax.value_and_grad(f)(moved)
+    assert np.isfinite(float(v)) and np.isfinite(np.asarray(g)).all()
+    # Stale near-set is an approximation-order change only: the value
+    # stays within a few percent of the fresh-prep evaluation.
+    v_fresh = float(cluster_repulsion(moved, cl, mask, n_valid))
+    np.testing.assert_allclose(float(v), v_fresh, rtol=5e-2)
+
+
+def test_trainer_chunk_uses_static_tables():
+    """End-to-end: a culled cluster_repulsion training chunk runs (and
+    descends) with the per-chunk static tables wired through run_chunk."""
+    import dataclasses
+    import os
+
+    from burn_raymarching_tpu.config import TrainConfig
+    from burn_raymarching_tpu.train.loop import Trainer, build_dataset
+
+    cfg = TrainConfig(
+        batch_size=1024, stages=1, steps_per_stage=10, steps_per_call=10,
+        use_pallas=False, checkpoint_dir=None,
+        use_culling=True, cull_budget=16, cull_tile=256,
+        dataset_order="morton", cluster_repulsion=True,
+        cull_cluster_group=4, init_n=12,
+        cameras_json="/root/reference/data/cameras.json",
+    )
+    cwd = os.getcwd()
+    os.chdir("/root/reference")
+    try:
+        ds = build_dataset(cfg)
+    finally:
+        os.chdir(cwd)
+    tr = Trainer(dataclasses.replace(cfg), ds, log=lambda s: None)
+    tr._io = False
+    padded, mask = tr.run()
+    for leaf in jax.tree.leaves(padded):
+        assert np.isfinite(np.asarray(leaf)).all()
