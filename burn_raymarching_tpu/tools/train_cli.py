@@ -303,6 +303,22 @@ def main(argv=None):
                         default="uniform", choices=["uniform", "residual"],
                         help="'residual': concentrate proposals on "
                              "primitives carrying reconstruction error")
+    parser.add_argument("--refine-colors", dest="refine_colors", type=float,
+                        default=0.0, metavar="SIGMA",
+                        help="joint color-logit proposal noise (0 = "
+                             "geometry only)")
+    parser.add_argument("--refine-temp", dest="refine_temp", type=float,
+                        default=0.0,
+                        help="annealed Metropolis chain temperature (x "
+                             "baseline acceptance loss; 0 = greedy)")
+    parser.add_argument("--refine-fringe", dest="refine_fringe", type=float,
+                        default=1.0, metavar="W",
+                        help="band-weighted acceptance: extra loss weight "
+                             "on dim-silhouette-fringe pixels")
+    parser.add_argument("--refine-light", dest="refine_light", type=int,
+                        default=0, metavar="N",
+                        help="gated light_dir/ambient micro-search "
+                             "proposals per refine round")
     args = parser.parse_args(argv)
 
     import dataclasses
@@ -324,7 +340,11 @@ def main(argv=None):
             trainer.refine_geometry(padded, mask, rounds=args.refine,
                                     proposals=args.refine_proposals,
                                     frac=args.refine_frac,
-                                    proposal_bias=args.refine_bias)
+                                    proposal_bias=args.refine_bias,
+                                    sigma_col=args.refine_colors,
+                                    accept_temp=args.refine_temp,
+                                    fringe_weight=args.refine_fringe,
+                                    light_proposals=args.refine_light)
         return
 
     # Best-of-N: the density-control trajectory is stochastic; train N seeds
@@ -383,6 +403,9 @@ def main(argv=None):
             padded, mask, rounds=args.refine,
             proposals=args.refine_proposals, frac=args.refine_frac,
             proposal_bias=args.refine_bias, export=False,
+            sigma_col=args.refine_colors, accept_temp=args.refine_temp,
+            fringe_weight=args.refine_fringe,
+            light_proposals=args.refine_light,
             cameras=cams, targets=tgts)
     export_scene_json(padded, cfg.scene_json, mask=np.asarray(mask))
     print(f"🏆 Best seed {seed}: PSNR {psnr:.2f} → {cfg.scene_json}")
