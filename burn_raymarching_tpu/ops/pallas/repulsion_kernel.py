@@ -303,7 +303,10 @@ def cluster_repulsion_fused(
             c_count, g, 3)
         centroids = (jnp.sum(cs * w[..., None], axis=1)
                      / jnp.maximum(counts, 1.0)[:, None])     # [C, 3]
-        nb_cs = jnp.take(centers, nb_members.reshape(-1), axis=0).reshape(
+        # Block-structured neighbor gather (whole [G,3] blocks) — the
+        # flattened take(centers, nbm_idx) equivalent costs ~2x the whole
+        # step in tiny row gathers on TPU (see train/loss.py).
+        nb_cs = jnp.take(cs, static.nb, axis=0).reshape(
             c_count, w_near * g, 3)
         cd2 = None
     else:

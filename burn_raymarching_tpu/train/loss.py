@@ -190,10 +190,12 @@ def cluster_repulsion(
 
     # Exact near-field pairs: members of each cluster vs members of its W
     # nearest clusters, with the reference's +100 on true self-pairs.
-    # take(cs, nb) == take(centers, member_idx[nb]) — the direct gather is
-    # identical in value and gradient and skips the chained intermediate.
-    nb_cs = jnp.take(centers, nbm_flat.reshape(-1), axis=0).reshape(
-        c_count, w_near * g, 3)
+    # NOTE: the chained take(cs, nb) gathers whole [G, 3] cluster blocks
+    # (6,400 contiguous blocks at M=51k); flattening it to a direct
+    # take(centers, member_idx[nb]) is value/gradient-identical but
+    # shreds it into W·G·C tiny row gathers — measured ~2x the whole
+    # train step on TPU (round 5). Keep the block-structured form.
+    nb_cs = jnp.take(cs, nb, axis=0).reshape(c_count, w_near * g, 3)
     d2 = jnp.sum((cs[:, :, None, :] - nb_cs[:, None, :, :]) ** 2, axis=3)
     dist = jnp.sqrt(jnp.maximum(d2, 1e-6))                   # [C, G, W·G]
     self_pair = (member_idx[:, :, None]
