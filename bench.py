@@ -22,10 +22,23 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/root/.cache/jax_comp_cache_bench")
+
+try:
+    import jax  # noqa: F401
+except ModuleNotFoundError:
+    # The interpreter on PATH may not be the project venv (the jax/flax
+    # stack lives in /opt/venv). Re-exec under it so `python bench.py`
+    # works from any shell.
+    _venv_py = "/opt/venv/bin/python"
+    if os.path.exists(_venv_py) and os.path.realpath(sys.executable) != \
+            os.path.realpath(_venv_py):
+        os.execv(_venv_py, [_venv_py] + sys.argv)
+    raise
 
 import jax
 import jax.numpy as jnp
