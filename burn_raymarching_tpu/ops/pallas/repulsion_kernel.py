@@ -305,11 +305,11 @@ def cluster_repulsion_fused(
                      / jnp.maximum(counts, 1.0)[:, None])     # [C, 3]
         # Block-structured neighbor gather (whole [G,3] blocks) — the
         # flattened take(centers, nbm_idx) equivalent costs ~2x the whole
-        # step in tiny row gathers on TPU (see train/loss.py). The frozen
-        # one-hot table gives it a scatter-free matmul backward
-        # (ops/static_gather.take_blocks).
-        from burn_raymarching_tpu.ops.static_gather import take_blocks
-        nb_cs = take_blocks(cs, static.nb, static.nb_hot_t)
+        # step in tiny row gathers on TPU, and the one-hot-matmul VJP
+        # (ops/static_gather.take_blocks) measured 6.85 -> 7.32 ms on the
+        # M=51k warm step — both negatives; see train/loss.py.
+        nb_cs = jnp.take(cs, static.nb, axis=0).reshape(
+            c_count, w_near * g, 3)
         cd2 = None
     else:
         member_valid = clusters.member_valid

@@ -18,9 +18,17 @@ generic scatter:
 
 ``precision=HIGHEST`` keeps the accumulation f32 (default TPU precision
 would round the cotangents through bf16; the repo invariant is HIGHEST
-on every dot). The fused kernel path and the XLA path share these
-wrappers, so their gradients stay bit-comparable to the live-prep route
-(tests/test_repulsion_kernel.py, tests/test_static_gather.py).
+on every dot).
+
+**Measured NEGATIVE on this workload (round 5), kept as a documented
+utility:** wiring ``take_blocks`` into the static repulsion path moved
+the M=51,200 warm step 6.85 → 7.32 ms (bench_guards large-scene run) —
+XLA's lowering of the [C, W]-block scatter-add is already better than
+streaming the 20 MB hot table through the MXU at this size, consistent
+with the round-2 finding that the prep pieces are individually tiny
+(docs/PARITY.md). The wrapper stays correct and tested
+(tests/test_static_gather.py) for workloads with larger W·C where the
+scatter, not the table read, dominates.
 """
 
 from __future__ import annotations

@@ -50,8 +50,6 @@ class RepulsionStatic(NamedTuple):
     far_w: jax.Array     # [C, C] f32 (1 - near_hot) * counts row weights
     counts: jax.Array    # [C] f32 live members per cluster
     w: jax.Array         # [C, G] f32 member validity
-    nb_hot_t: jax.Array  # [C, C·W] f32 transposed neighbor one-hot
-    #                      (scatter-free take_blocks VJP — ops/static_gather)
 
 
 def build_repulsion_static(
@@ -86,10 +84,8 @@ def build_repulsion_static(
     near_hot = jnp.sum(jax.nn.one_hot(nb, c_count, dtype=jnp.float32),
                        axis=1)
     far_w = (1.0 - near_hot) * counts[None, :]
-    from burn_raymarching_tpu.ops.static_gather import neighbor_hot_t
     return RepulsionStatic(nb.astype(jnp.int32), nbm_idx.astype(jnp.int32),
-                           nb_w, far_w, counts, w,
-                           neighbor_hot_t(nb, c_count))
+                           nb_w, far_w, counts, w)
 
 
 def _masked_mean(
@@ -198,15 +194,12 @@ def cluster_repulsion(
     # (6,400 contiguous blocks at M=51k); flattening it to a direct
     # take(centers, member_idx[nb]) is value/gradient-identical but
     # shreds it into W·G·C tiny row gathers — measured ~2x the whole
-    # train step on TPU (round 5). Keep the block-structured form. On the
-    # static path the frozen one-hot table additionally replaces the
-    # backward's 409,600-row scatter-add with one MXU matmul
-    # (ops/static_gather.take_blocks).
-    if static is not None:
-        from burn_raymarching_tpu.ops.static_gather import take_blocks
-        nb_cs = take_blocks(cs, nb, static.nb_hot_t)
-    else:
-        nb_cs = jnp.take(cs, nb, axis=0).reshape(c_count, w_near * g, 3)
+    # train step on TPU (round 5). Keep the block-structured form.
+    # SECOND round-5 negative: replacing this take's scatter-add VJP with
+    # the chunk-frozen one-hot matmul (ops/static_gather.take_blocks via
+    # static.nb_hot_t) measured the M=51k warm step 6.85 -> 7.32 ms —
+    # XLA's block scatter beats the 20 MB hot-table matmul here.
+    nb_cs = jnp.take(cs, nb, axis=0).reshape(c_count, w_near * g, 3)
     d2 = jnp.sum((cs[:, :, None, :] - nb_cs[:, None, :, :]) ** 2, axis=3)
     dist = jnp.sqrt(jnp.maximum(d2, 1e-6))                   # [C, G, W·G]
     self_pair = (member_idx[:, :, None]
