@@ -33,11 +33,14 @@ try:
 except ModuleNotFoundError:
     # The interpreter on PATH may not be the project venv (the jax/flax
     # stack lives in /opt/venv). Re-exec under it so `python bench.py`
-    # works from any shell.
+    # works from any shell. NOTE: the venv python is a symlink to the
+    # base interpreter, so compare via a loop-guard env flag, not
+    # realpath.
     _venv_py = "/opt/venv/bin/python"
-    if os.path.exists(_venv_py) and os.path.realpath(sys.executable) != \
-            os.path.realpath(_venv_py):
-        os.execv(_venv_py, [_venv_py] + sys.argv)
+    if os.path.exists(_venv_py) and not os.environ.get("_BENCH_REEXEC"):
+        os.environ["_BENCH_REEXEC"] = "1"
+        os.execv(_venv_py, [_venv_py, os.path.abspath(__file__)]
+                 + sys.argv[1:])
     raise
 
 import jax
